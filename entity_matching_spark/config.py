@@ -64,6 +64,7 @@ class MatchConfig:
 
     # --- blocking / skew control (SURVEY.md §4.3.1)
     max_block_size: int = 100          # analog of LIMIT 100 (sql/findByName.sql:10)
+    salt_threshold: int = 32           # groups above this use the bucket-pair salted join
     sorted_neighborhood_window: int = 3
     name_token_min_len: int = 3
     salt_buckets: int = 8              # salt fan-out for oversized key groups

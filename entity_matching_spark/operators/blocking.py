@@ -1,0 +1,245 @@
+"""S2/S3 — multi-pass blocking keys + candidate-pair generation (self-join).
+
+Replaces the reference's repository lookups (group B of SURVEY.md §2): each
+indexed SQL lookup (sql/findByMEI.sql, findByLEI.sql, findByEIN.sql,
+findByDebtDomainId.sql, findByEmailDomain.sql, findByCleanedShortName.sql,
+findByName.sql — all under /root/reference/src/main/resources/sql/) becomes a
+blocking key; candidate generation becomes ONE set-oriented self-join over the
+union of key passes instead of per-probe point queries.
+
+Scale design (SURVEY.md §4.3.1 — explicit, not left to Catalyst):
+
+- **Key-frequency cap.** Keys whose group exceeds ``config.max_block_size``
+  are dropped from pair generation and surfaced via ``profile_block_keys`` —
+  the set-oriented analog of the reference's ``LIMIT 100``
+  (sql/findByName.sql:10). Dropped keys are returned, never silently ignored.
+- **Salted self-join for hot keys.** Groups larger than
+  ``config.salt_threshold`` (but under the cap) are expanded over bucket
+  pairs: each record with bucket ``b = pmod(xxhash64(conv_id), B)`` is
+  replicated to the B unordered bucket-pairs ``(min(b,t), max(b,t))``, and the
+  self-join key becomes ``(key, i, j)``. One hot key's quadratic work is thus
+  spread across B(B+1)/2 independent tasks instead of one straggler — AQE
+  skew-join cannot do this for pair *generation* because the explosion happens
+  after the join, not in the probe side.
+- **Strategy precedence.** A pair found by several passes keeps exactly one
+  row, tagged with its highest-precedence strategy — the set-oriented
+  equivalent of MatchingEngine's ``processedEntityIds`` dedupe
+  (engine/MatchingEngine.java:43,52,70,98) per SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT_CONFIG, MatchConfig
+
+# Pass name -> (precedence rank, strategy tag). Precedence follows the
+# reference's sequential staging: identifier passes first
+# (engine/MatchingEngine.java:41-60), then fuzzy name (:62-81), then email
+# (:84-108). Within identifiers, MEI > LEI > EIN > DD mirrors
+# IdentifierMatcher's pass order (engine/IdentifierMatcher.java:26-76).
+BLOCKING_PASSES = {
+    "mei": (1, "IDENTIFIER"),
+    "lei": (2, "IDENTIFIER"),
+    "ein": (3, "IDENTIFIER"),
+    "debt_domain": (4, "IDENTIFIER"),
+    "cleanname": (5, "FUZZY_NAME"),   # sql/findByCleanedShortName.sql
+    "nametok": (6, "FUZZY_NAME"),     # recall-equivalent of LIKE %name% (B5)
+    "sorted_neighborhood": (7, "FUZZY_NAME"),
+    "email_domain": (8, "EMAIL_DOMAIN"),  # sql/findByEmailDomain.sql
+}
+
+
+def _key(pass_name: str, col) -> F.Column:
+    return F.concat(F.lit(pass_name + ":"), col)
+
+
+def generate_blocking_keys(records: DataFrame, config: MatchConfig | None = None) -> DataFrame:
+    """S2: (conv_id, pass, key) — one row per record per firing blocking pass.
+
+    Input is the S1 records table (operators/assemble.build_records). All key
+    derivations are native column expressions (whole-stage codegen; no UDF).
+    """
+    cfg = config or DEFAULT_CONFIG
+
+    parts = []
+
+    def add(pass_name: str, key_col):
+        parts.append(
+            records.select(
+                "conv_id",
+                F.lit(pass_name).alias("pass"),
+                _key(pass_name, key_col).alias("key"),
+            ).where(key_col.isNotNull())
+        )
+
+    # B1/B2/B4 equi-keys; B3 hyphen-stripped EIN (sql/findByEIN.sql:2)
+    add("mei", F.col("mei"))
+    add("lei", F.col("lei"))
+    add("ein", F.col("ein_nohyphen"))
+    add("debt_domain", F.col("debt_domain_id"))
+    # B7 cleaned-name key (sql/findByCleanedShortName.sql + caller pre-clean
+    # at repository/LoanIQRepository.java:168-173)
+    add("cleanname", F.col("clean_name_key"))
+    # B6 email-domain key
+    add("email_domain", F.col("email_domain"))
+
+    # B5 analog: token keys over the D6-normalized legal name. The LIKE
+    # %name% contains-scan cannot scale as a self-join; token co-occurrence
+    # gives equivalent-or-better recall for multi-token names (SURVEY.md §2 B5)
+    tokens = F.array_distinct(
+        F.filter(
+            F.split(F.coalesce("norm_legal_name", F.lit("")), r"\s+"),
+            lambda t: F.length(t) >= cfg.name_token_min_len,
+        )
+    )
+    tok = records.select(
+        "conv_id", F.explode(tokens).alias("tok")
+    ).select(
+        "conv_id", F.lit("nametok").alias("pass"), _key("nametok", F.col("tok")).alias("key")
+    )
+    parts.append(tok)
+
+    parts.append(sorted_neighborhood_keys(records, cfg))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = None) -> DataFrame:
+    """Distributed sorted-neighborhood pass over the normalized legal name.
+
+    Scalable formulation: ``repartitionByRange`` on the sort key gives a
+    global range partitioning; a *partition-local* ``row_number`` plus
+    driver-collected per-partition offsets (one tiny aggregate) yields a true
+    global rank without a single-partition window. Each record then emits two
+    bucket keys, ``floor(rank/w)`` and ``floor((rank + ceil(w/2))/w)``, so any
+    two records within ``ceil(w/2)`` positions of each other share at least
+    one bucket. This is the standard scalable SN approximation: windows become
+    overlapping tiles instead of a strict sliding window.
+    """
+    cfg = config or DEFAULT_CONFIG
+    w = max(cfg.sorted_neighborhood_window, 2)
+
+    sk = records.select(
+        "conv_id",
+        F.coalesce("norm_legal_name", F.lit("")).alias("snk"),
+    ).where(F.col("snk") != "")
+    n_parts = max(2, cfg.shuffle_partitions)
+    sk = sk.repartitionByRange(n_parts, "snk", "conv_id")
+    sk = sk.withColumn("pid", F.spark_partition_id())
+    win = Window.partitionBy("pid").orderBy("snk", "conv_id")
+    sk = sk.withColumn("lidx", F.row_number().over(win))
+
+    # per-partition counts -> cumulative offsets (tiny driver-side table)
+    counts = {r["pid"]: r["cnt"] for r in sk.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]) \
+        if offsets else F.create_map()
+
+    gidx = (offset_map[F.col("pid")] + F.col("lidx") - 1).alias("gidx")
+    sk = sk.select("conv_id", gidx)
+    half = max(1, (w + 1) // 2)
+    k1 = sk.select(
+        "conv_id",
+        F.lit("sorted_neighborhood").alias("pass"),
+        _key("sorted_neighborhood", F.floor(F.col("gidx") / w).cast("string")).alias("key"),
+    )
+    k2 = sk.select(
+        "conv_id",
+        F.lit("sorted_neighborhood").alias("pass"),
+        _key("sorted_neighborhood", F.floor((F.col("gidx") + half) / w).cast("string")).alias("key"),
+    )
+    return k1.unionByName(k2).distinct()
+
+
+def profile_block_keys(keys: DataFrame) -> DataFrame:
+    """Key-frequency profile: (pass, key, n_records, n_pairs). Hot-key radar."""
+    return keys.groupBy("pass", "key").agg(
+        F.count("*").alias("n_records"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+
+
+def generate_pairs(
+    keys: DataFrame, config: MatchConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """S3: candidate pairs with strategy precedence.
+
+    Returns ``(pairs, dropped_keys)`` where pairs has
+    (conv_id_a, conv_id_b, strategy, pass, block_key) with conv_id_a <
+    conv_id_b, exactly one row per pair; dropped_keys is the over-cap profile
+    (never silently discarded — the caller logs it, SURVEY.md §4.3.1).
+    """
+    cfg = config or DEFAULT_CONFIG
+    cap = cfg.max_block_size
+    salt_at = getattr(cfg, "salt_threshold", 32)
+    B = max(2, cfg.salt_buckets)
+
+    counts = keys.groupBy("key").agg(F.count("*").alias("n"))
+    dropped = counts.where(F.col("n") > cap)
+    keyed = keys.join(F.broadcast(counts.where(F.col("n") <= cap)), "key")
+
+    small = keyed.where(F.col("n") <= salt_at).drop("n")
+    large = keyed.where(F.col("n") > salt_at).drop("n")
+
+    def join_pairs(left: DataFrame, right: DataFrame, on: list) -> DataFrame:
+        a = left.select(*on, F.col("conv_id").alias("conv_id_a"), F.col("pass").alias("pass_a"))
+        b = right.select(*on, F.col("conv_id").alias("conv_id_b"))
+        return (
+            a.join(b, on)
+            .where(F.col("conv_id_a") < F.col("conv_id_b"))
+            .select("conv_id_a", "conv_id_b", F.col("pass_a").alias("pass"), F.col("key"))
+        )
+
+    # small groups: plain per-key self-join (shuffle on key; AQE coalesces)
+    pairs_small = join_pairs(small, small, ["key"])
+
+    # hot groups: bucket-pair salt expansion (see module docstring)
+    bkt = large.withColumn("b", F.pmod(F.xxhash64("conv_id"), F.lit(B)).cast("int"))
+    t = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("t")
+    exp = bkt.select("key", "pass", "conv_id", "b", t).select(
+        "key", "pass", "conv_id", "b",
+        F.least("b", "t").alias("i"), F.greatest("b", "t").alias("j"),
+    ).dropDuplicates(["key", "conv_id", "i", "j"])
+    # within group (i,j): left side contributes bucket-i records, right side
+    # bucket-j records (for i==j both sides are the same bucket)
+    lft = exp.where(F.col("b") == F.col("i"))
+    rgt = exp.where(F.col("b") == F.col("j"))
+    pairs_large = (
+        join_pairs(lft, rgt, ["key", "i", "j"])
+        .unionByName(
+            # i<j pairs where the lexicographically-smaller conv sits in j
+            join_pairs(rgt, lft, ["key", "i", "j"])
+        )
+        .dropDuplicates(["conv_id_a", "conv_id_b", "key"])
+    )
+
+    all_pairs = pairs_small.unionByName(pairs_large)
+
+    # precedence dedupe: one row per pair, min (rank, pass, key)
+    rank_map = F.create_map(
+        *[F.lit(x) for name, (rank, _) in BLOCKING_PASSES.items() for x in (name, rank)]
+    )
+    strat_map = F.create_map(
+        *[F.lit(x) for name, (_, s) in BLOCKING_PASSES.items() for x in (name, s)]
+    )
+    tagged = all_pairs.withColumn("rank", rank_map[F.col("pass")])
+    best = (
+        tagged.groupBy("conv_id_a", "conv_id_b")
+        .agg(F.min(F.struct("rank", "pass", "key")).alias("m"))
+        .select(
+            "conv_id_a",
+            "conv_id_b",
+            strat_map[F.col("m.pass")].alias("strategy"),
+            F.col("m.pass").alias("pass"),
+            F.col("m.key").alias("block_key"),
+        )
+    )
+    return best, dropped

@@ -1,0 +1,128 @@
+"""S2/S3 blocking tests: key assignment, labeled-pair co-occurrence (blocking
+recall), cap + salt behavior, and strategy precedence (FIXTURES.md §5.2)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from entity_matching_spark.config import MatchConfig
+from entity_matching_spark.operators.blocking import (
+    generate_blocking_keys,
+    generate_pairs,
+    profile_block_keys,
+    sorted_neighborhood_keys,
+)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark, records_df):
+    return generate_blocking_keys(records_df).cache()
+
+
+@pytest.fixture(scope="module")
+def pairs_and_dropped(spark, keys_df):
+    pairs, dropped = generate_pairs(keys_df)
+    return pairs.cache(), dropped.cache()
+
+
+class TestKeyAssignment:
+    def test_identifier_keys_present(self, records_df, keys_df):
+        """Every record with an MEI gets exactly its mei: key (B1 analog)."""
+        expected = records_df.where("mei is not null").select(
+            "conv_id", F.concat(F.lit("mei:"), "mei").alias("key")
+        )
+        got = keys_df.where("pass = 'mei'").select("conv_id", "key")
+        assert expected.exceptAll(got).count() == 0
+        assert got.exceptAll(expected).count() == 0
+
+    def test_ein_key_hyphen_normalized(self, records_df, keys_df):
+        """B3: the EIN key is hyphen-stripped (sql/findByEIN.sql:2)."""
+        bad = keys_df.where("pass = 'ein' and key like '%-%'").count()
+        assert bad == 0
+
+    def test_every_pass_fires(self, keys_df):
+        passes = {r["pass"] for r in keys_df.select("pass").distinct().collect()}
+        assert {"mei", "lei", "ein", "cleanname", "nametok",
+                "sorted_neighborhood", "email_domain"} <= passes
+
+
+class TestBlockingRecall:
+    def test_labeled_pairs_cooccur(self, spark, small_corpus, pairs_and_dropped):
+        """FIXTURES.md §5.2: every labeled positive pair with a block_key
+        co-occurs in the candidate pair set (blocking recall = 1.0)."""
+        _, labels = small_corpus
+        pos = labels[(labels.is_match) & (labels.block_key.notna())]
+        lab = spark.createDataFrame(pos[["conv_id_a", "conv_id_b"]])
+        pairs, _ = pairs_and_dropped
+        missing = lab.exceptAll(pairs.select("conv_id_a", "conv_id_b")).count()
+        assert missing == 0
+
+    def test_pairs_unique_and_ordered(self, pairs_and_dropped):
+        pairs, _ = pairs_and_dropped
+        assert pairs.where("conv_id_a >= conv_id_b").count() == 0
+        n = pairs.count()
+        assert pairs.select("conv_id_a", "conv_id_b").distinct().count() == n
+
+
+class TestPrecedence:
+    def test_identifier_beats_name(self, records_df, pairs_and_dropped):
+        """A pair sharing an MEI must be tagged IDENTIFIER/mei even if it also
+        shares name tokens (MatchingEngine.java:43-52 dedupe semantics)."""
+        pairs, _ = pairs_and_dropped
+        a = records_df.select(F.col("conv_id").alias("conv_id_a"), F.col("mei").alias("mei_a"))
+        b = records_df.select(F.col("conv_id").alias("conv_id_b"), F.col("mei").alias("mei_b"))
+        shared_mei = (
+            pairs.join(a, "conv_id_a").join(b, "conv_id_b")
+            .where("mei_a is not null and mei_a = mei_b")
+        )
+        assert shared_mei.where("pass != 'mei'").count() == 0
+        assert shared_mei.count() > 0
+
+
+class TestScaleControls:
+    def test_hot_key_capped(self, spark, records_df):
+        """Keys above max_block_size are dropped and reported, not exploded."""
+        cfg = MatchConfig(max_block_size=5, salt_threshold=3)
+        keys = generate_blocking_keys(records_df, cfg)
+        pairs, dropped = generate_pairs(keys, cfg)
+        prof = profile_block_keys(keys)
+        hot = {r["key"] for r in prof.where("n_records > 5").collect()}
+        assert hot, "fixture should contain at least one >5 key group"
+        assert {r["key"] for r in dropped.collect()} == hot
+        # no pair row may originate from a dropped key
+        assert pairs.where(F.col("block_key").isin(list(hot))).count() == 0
+
+    def test_salted_join_equals_plain_join(self, spark, keys_df):
+        """The bucket-pair salted self-join produces exactly the same pair set
+        as the unsalted join (salt_threshold=0 forces everything salted)."""
+        cfg_salted = MatchConfig(salt_threshold=0, salt_buckets=4)
+        cfg_plain = MatchConfig(salt_threshold=10**9)
+        p_salted, _ = generate_pairs(keys_df, cfg_salted)
+        p_plain, _ = generate_pairs(keys_df, cfg_plain)
+        cols = ["conv_id_a", "conv_id_b", "pass", "block_key"]
+        assert p_salted.select(cols).exceptAll(p_plain.select(cols)).count() == 0
+        assert p_plain.select(cols).exceptAll(p_salted.select(cols)).count() == 0
+
+
+class TestSortedNeighborhood:
+    def test_near_names_share_bucket(self, spark, records_df):
+        """Adjacent records in norm-name order share an SN key."""
+        keys = sorted_neighborhood_keys(records_df, MatchConfig(sorted_neighborhood_window=4))
+        per_conv = keys.groupBy("conv_id").agg(F.collect_set("key").alias("ks"))
+        ordered = (
+            records_df.where("norm_legal_name is not null and norm_legal_name != ''")
+            .select("conv_id", "norm_legal_name")
+            .orderBy("norm_legal_name", "conv_id")
+            .collect()
+        )
+        kmap = {r["conv_id"]: set(r["ks"]) for r in per_conv.collect()}
+        # neighbors at distance 1 must overlap in >=85% of cases (tile-boundary
+        # misses are allowed by the overlapping-tile approximation: with two
+        # offset tilings of window w, distance-1 neighbors can straddle both
+        # tilings' boundaries only near multiples of w)
+        hits = total = 0
+        for x, y in zip(ordered, ordered[1:]):
+            total += 1
+            if kmap[x["conv_id"]] & kmap[y["conv_id"]]:
+                hits += 1
+        assert total > 50
+        assert hits / total >= 0.85
