@@ -1,38 +1,1065 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship end-to-end record-linkage DAG over a
+transcript table derived deterministically from /root/testdata/sf0.001
+(events -> conversation turns), exercising assembly, extraction, blocking,
+salted pair generation, scoring and decisions.
+
+`queries()` exposes one operator per SURVEY.md §2 group over the shared
+testdata tables; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL. Column
+names and aliases match pairwise; float outputs are rounded identically on
+both sides so value hashes compare exactly (Spark and DuckDB produce
+identical IEEE doubles for these expressions — verified for jaro_winkler,
+levenshtein and cosine).
+
+Non-SQL-expressible entries (documented at the bottom of ``queries``):
+simhash + multimodal feature extraction — the driver records rows-only
+checks for those.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from entity_matching_spark.functions.lookups import (
+    ABBREVIATIONS,
+    CORPORATE_FORMS,
+    COUNTRY_NAME_TO_CODE,
+)
+
+# ---------------------------------------------------------------------------
+# shared derivations (kept textually parallel between Spark and DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+# Synthetic transcript view over `events`: conversation = user, turns ordered
+# by (ts, event_id). Deterministic; same definition in SQL below.
+def _event_transcripts(spark, sf_dir) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return e.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+    )
+
+
+# ===========================================================================
+# Group E — assembly (E1): window-ordered turn concatenation
+# ===========================================================================
+
+def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 analog — array_sort(collect_list(struct)) + concat_ws; stable order
+    by (ts, event_id) (SURVEY.md §2 E1; reference A1-A8 replacement)."""
+    t = _event_transcripts(spark, sf_dir)
+    grouped = t.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "text"))).alias("turns")
+    )
+    return grouped.select(
+        "conv_id",
+        F.concat_ws("\n", F.transform("turns", lambda x: x["text"])).alias("doc"),
+        F.size("turns").alias("n_turns"),
+    ).orderBy("conv_id")
+
+
+def _sql_assemble(sf: str) -> str:
+    return f"""
+    SELECT 'conv' || CAST(user_id AS VARCHAR) AS conv_id,
+           string_agg(event_type || ' ' || props, chr(10) ORDER BY ts, event_id) AS doc,
+           COUNT(*) AS n_turns
+    FROM events
+    GROUP BY user_id
+    ORDER BY conv_id
+    """
+
+
+# ===========================================================================
+# Group C — regex field extraction (C2/C4): identifier patterns
+# ===========================================================================
+
+_MEI_RE = r"(?:MEI|Member\s*Entity\s*ID)[:\s]*([A-Z]{2}\d{8})"
+_EIN_RE = r"(?:EIN|TIN|Tax\s*ID)[:\s]*(\d{2}-?\d{7})"
+
+
+def q_extract_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C4 — regexp extraction + EIN hyphen normalization over a
+    deterministic identifier blurb built from customer keys
+    (extraction/FieldParser.java:131-175)."""
+    c = _read(spark, sf_dir, "customer")
+    blurb = F.concat(
+        F.lit("MEI: US"), F.lpad((F.col("c_custkey") * 7919 % 100000000).cast("string"), 8, "0"),
+        F.lit(" EIN: "), F.lpad((F.col("c_custkey") % 90 + 10).cast("string"), 2, "0"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("-")).otherwise(F.lit("")),
+        F.lpad((F.col("c_custkey") * 31 % 9000000 + 1000000).cast("string"), 7, "0"),
+    )
+    df = c.select("c_custkey", blurb.alias("blurb"))
+    mei = F.regexp_extract("blurb", _MEI_RE, 1)
+    ein_raw = F.regexp_extract("blurb", _EIN_RE, 1)
+    ein = F.when(ein_raw.contains("-"), ein_raw).otherwise(
+        F.concat(F.substring(ein_raw, 1, 2), F.lit("-"), F.substring(ein_raw, 3, 7))
+    )
+    return df.select(
+        "c_custkey", mei.alias("mei"), ein.alias("ein"),
+        F.regexp_replace(ein, "-", "").alias("ein_nohyphen"),
+    ).orderBy("c_custkey")
+
+
+def _sql_extract_identifiers(sf: str) -> str:
+    return r"""
+    WITH blurbs AS (
+      SELECT c_custkey,
+             'MEI: US' || lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR), 8, '0')
+             || ' EIN: ' || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0')
+             || CASE WHEN c_custkey % 2 = 0 THEN '-' ELSE '' END
+             || lpad(CAST(c_custkey * 31 % 9000000 + 1000000 AS VARCHAR), 7, '0') AS blurb
+      FROM customer
+    ), ex AS (
+      SELECT c_custkey,
+             regexp_extract(blurb, '(?:MEI|Member\s*Entity\s*ID)[:\s]*([A-Z]{2}\d{8})', 1) AS mei,
+             regexp_extract(blurb, '(?:EIN|TIN|Tax\s*ID)[:\s]*(\d{2}-?\d{7})', 1) AS ein_raw
+      FROM blurbs
+    )
+    SELECT c_custkey, mei,
+           CASE WHEN contains(ein_raw, '-') THEN ein_raw
+                ELSE substr(ein_raw, 1, 2) || '-' || substr(ein_raw, 3, 7) END AS ein,
+           replace(CASE WHEN contains(ein_raw, '-') THEN ein_raw
+                ELSE substr(ein_raw, 1, 2) || '-' || substr(ein_raw, 3, 7) END, '-', '') AS ein_nohyphen
+    FROM ex ORDER BY c_custkey
+    """
+
+
+# ===========================================================================
+# Group B/D — blocking keys (B7 cleaned-name key, D9)
+# ===========================================================================
+
+def q_clean_name_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — punctuation-stripped lowercase key (sql/findByCleanedShortName.sql)
+    with per-key group sizes (the key-frequency profile of SURVEY.md §4.3.1)."""
+    p = _read(spark, sf_dir, "part")
+    key = F.regexp_replace(F.lower("p_name"), "[^a-z0-9]", "")
+    return (
+        p.select(key.alias("clean_key"))
+        .groupBy("clean_key").agg(F.count("*").alias("n_records"))
+        .orderBy("clean_key")
+    )
+
+
+def _sql_clean_name_key(sf: str) -> str:
+    return """
+    SELECT regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS clean_key,
+           COUNT(*) AS n_records
+    FROM part GROUP BY 1 ORDER BY clean_key
+    """
+
+
+def q_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 pair generation — per-key self-join with id_l < id_r and the
+    LIMIT-100 style cap on oversized groups (key: supplier nation+balance
+    sign; engine analog of generate_pairs)."""
+    s = _read(spark, sf_dir, "supplier")
+    keyed = s.select(
+        F.concat(F.col("s_nationkey").cast("string"), F.lit(":"),
+                 (F.col("s_acctbal") > 0).cast("string")).alias("key"),
+        F.col("s_suppkey").alias("id"),
+    )
+    counts = keyed.groupBy("key").agg(F.count("*").alias("n"))
+    ok = keyed.join(F.broadcast(counts.where(F.col("n") <= 100)), "key")
+    a = ok.select("key", F.col("id").alias("id_a"))
+    b = ok.select("key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "key").where(F.col("id_a") < F.col("id_b"))
+        .select("key", "id_a", "id_b").orderBy("key", "id_a", "id_b")
+    )
+
+
+def _sql_block_pairs(sf: str) -> str:
+    return """
+    WITH keyed AS (
+      SELECT CAST(s_nationkey AS VARCHAR) || ':' ||
+             CASE WHEN s_acctbal > 0 THEN 'true' ELSE 'false' END AS key,
+             s_suppkey AS id
+      FROM supplier
+    ), ok AS (
+      SELECT key FROM keyed GROUP BY key HAVING COUNT(*) <= 100
+    )
+    SELECT k1.key AS key, k1.id AS id_a, k2.id AS id_b
+    FROM keyed k1 JOIN keyed k2 USING (key) JOIN ok USING (key)
+    WHERE k1.id < k2.id
+    ORDER BY key, id_a, id_b
+    """
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/SN — overlapping-tile sorted neighborhood over customer names:
+    rank by name, tile = floor(rank/w); pairs within a tile (w=4). The
+    production pass computes the same global rank scalably via
+    repartitionByRange + partition offsets (operators/blocking.py)."""
+    c = _read(spark, sf_dir, "customer")
+    w = Window.orderBy("c_name", "c_custkey")
+    ranked = c.select(
+        "c_custkey", "c_name", ((F.row_number().over(w) - 1) / 4).cast("long").alias("tile")
+    )
+    a = ranked.select("tile", F.col("c_custkey").alias("id_a"))
+    b = ranked.select("tile", F.col("c_custkey").alias("id_b"))
+    return (
+        a.join(b, "tile").where(F.col("id_a") < F.col("id_b"))
+        .select("tile", "id_a", "id_b").orderBy("tile", "id_a", "id_b")
+    )
+
+
+def _sql_sorted_neighborhood(sf: str) -> str:
+    return """
+    WITH ranked AS (
+      SELECT c_custkey,
+             CAST(floor((ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1) / 4) AS BIGINT) AS tile
+      FROM customer
+    )
+    SELECT r1.tile AS tile, r1.c_custkey AS id_a, r2.c_custkey AS id_b
+    FROM ranked r1 JOIN ranked r2 USING (tile)
+    WHERE r1.c_custkey < r2.c_custkey
+    ORDER BY tile, id_a, id_b
+    """
+
+
+# ===========================================================================
+# Group D — name normalization (D6) cross-engine
+# ===========================================================================
+
+def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — NameNormalizer.normalize via the pandas-UDF kernel, checked
+    against a DuckDB regexp chain generated from the same constant tables
+    (engine/NameNormalizer.java:108-137)."""
+    from entity_matching_spark.functions.normalize import build_udfs
+
+    udfs = build_udfs()
+    p = _read(spark, sf_dir, "part")
+    name = F.concat(F.col("p_name"), F.lit(" "), F.upper("p_brand"), F.lit(" Intl Inc."))
+    return p.select(
+        "p_partkey", udfs["norm_name"](name).alias("norm_name")
+    ).orderBy("p_partkey")
+
+
+def _sql_normalize_names(sf: str) -> str:
+    # generate the same 7-step chain from the shared constant tables
+    expr = "lower(concat(p_name, ' ', upper(p_brand), ' Intl Inc.'))"
+    expr = f"regexp_replace({expr}, '[^a-z0-9\\s\\-'']', ' ', 'g')"
+    for abbr, full in ABBREVIATIONS.items():
+        expr = f"regexp_replace({expr}, '\\b{abbr}\\b', '{full}', 'g')"
+    forms = "|".join(sorted(CORPORATE_FORMS, key=len, reverse=True))
+    expr = f"regexp_replace({expr}, '\\b({forms})\\b', '', 'g')"
+    expr = f"regexp_replace({expr}, '\\b(the|a|an|and|of|in|for|by|with|from)\\b', '', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"SELECT p_partkey, {expr} AS norm_name FROM part ORDER BY p_partkey"
+
+
+# ===========================================================================
+# Group H — similarity kernels (H1 JW, H2 Levenshtein)
+# ===========================================================================
+
+def _name_pairs(spark, sf_dir) -> DataFrame:
+    p = _read(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+                 F.col("p_type").alias("type_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+                 F.col("p_type").alias("type_b"))
+    return a.join(b, (F.col("id_b") == F.col("id_a") + 1)).select(
+        "id_a", "id_b", "name_a", "name_b"
+    )
+
+
+_SQL_NAME_PAIRS = """
+      SELECT p1.p_partkey AS id_a, p2.p_partkey AS id_b,
+             p1.p_name AS name_a, p2.p_name AS name_b
+      FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1
+"""
+
+
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 — the batched-numpy JW kernel (true similarity, commons-text
+    matching rules) vs DuckDB's independent implementation. Exact double
+    equality verified; empty-vs-empty guarded (we return 1.0 like
+    commons-text, DuckDB returns 0)."""
+    from entity_matching_spark.functions.similarity import build_jw_udf
+
+    jw = build_jw_udf()
+    return (
+        _name_pairs(spark, sf_dir)
+        .select("id_a", "id_b", F.round(jw("name_a", "name_b"), 9).alias("jw"))
+        .orderBy("id_a")
+    )
+
+
+def _sql_jaro_winkler(sf: str) -> str:
+    return f"""
+    WITH pairs AS ({_SQL_NAME_PAIRS})
+    SELECT id_a, id_b,
+           round(CASE WHEN name_a = '' AND name_b = '' THEN 1.0
+                 ELSE jaro_winkler_similarity(name_a, name_b) END, 9) AS jw
+    FROM pairs ORDER BY id_a
+    """
+
+
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 — Spark's native JVM levenshtein() vs DuckDB levenshtein (the
+    differential micro-oracle of SURVEY.md §5.2.4; numpy kernel is cross-
+    checked against the same native function in tests/test_similarity.py)."""
+    return (
+        _name_pairs(spark, sf_dir)
+        .select("id_a", "id_b", F.levenshtein("name_a", "name_b").alias("lev"))
+        .orderBy("id_a")
+    )
+
+
+def _sql_levenshtein(sf: str) -> str:
+    return f"""
+    WITH pairs AS ({_SQL_NAME_PAIRS})
+    SELECT id_a, id_b, levenshtein(name_a, name_b) AS lev
+    FROM pairs ORDER BY id_a
+    """
+
+
+# ===========================================================================
+# Group K — scoring arithmetic, ranking, decisions
+# ===========================================================================
+
+def q_identifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 identifier components — first-match-wins base 40/35/30/25, boosts
+    20/15, Q3 debt-domain boost dropped, +5 per extra identifier
+    (engine/IdentifierMatcher.java:29-105, engine/ConfidenceScorer.java:54-98)."""
+    c = _read(spark, sf_dir, "customer")
+    k = c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 10).alias("mei"),
+        (F.col("c_custkey") % 6).alias("lei"),
+        (F.col("c_custkey") % 4).alias("ein"),
+        (F.col("c_custkey") % 3).alias("dd"),
+        (F.col("c_custkey") % 5 == 0).alias("has_mei"),
+        (F.col("c_custkey") % 3 == 0).alias("has_lei"),
+        (F.col("c_custkey") % 2 == 0).alias("has_ein"),
+        (F.col("c_custkey") % 4 == 0).alias("has_dd"),
+    )
+    a = k.select([F.col(x).alias(f"{x}_a") for x in k.columns])
+    b = k.select([F.col(x).alias(f"{x}_b") for x in k.columns])
+    pairs = a.join(b, F.col("c_custkey_b") == F.col("c_custkey_a") + 60)
+    mei_eq = F.col("has_mei_a") & F.col("has_mei_b") & (F.col("mei_a") == F.col("mei_b"))
+    lei_eq = F.col("has_lei_a") & F.col("has_lei_b") & (F.col("lei_a") == F.col("lei_b"))
+    ein_eq = F.col("has_ein_a") & F.col("has_ein_b") & (F.col("ein_a") == F.col("ein_b"))
+    dd_eq = F.col("has_dd_a") & F.col("has_dd_b") & (F.col("dd_a") == F.col("dd_b"))
+    base = (
+        F.when(mei_eq, 40.0).when(lei_eq, 35.0).when(ein_eq, 30.0).when(dd_eq, 25.0)
+        .otherwise(0.0)
+    )
+    boosts = (
+        F.when(lei_eq & mei_eq, 20.0).otherwise(0.0)
+        + F.when(ein_eq & (mei_eq | lei_eq), 15.0).otherwise(0.0)
+    )
+    idc = (
+        mei_eq.cast("int") + lei_eq.cast("int") + ein_eq.cast("int")
+        + (dd_eq & ~(mei_eq | lei_eq | ein_eq)).cast("int")
+    )
+    multi = F.when(idc > 1, (idc - 1) * 5.0).otherwise(0.0)
+    return pairs.select(
+        F.col("c_custkey_a").alias("id_a"), F.col("c_custkey_b").alias("id_b"),
+        (base + boosts).alias("identifier_score"), multi.alias("multi_id_bonus"),
+    ).where(F.col("identifier_score") > 0).orderBy("id_a")
+
+
+def _sql_identifier_scoring(sf: str) -> str:
+    return """
+    WITH k AS (
+      SELECT c_custkey, c_custkey % 10 AS mei, c_custkey % 6 AS lei,
+             c_custkey % 4 AS ein, c_custkey % 3 AS dd,
+             c_custkey % 5 = 0 AS has_mei, c_custkey % 3 = 0 AS has_lei,
+             c_custkey % 2 = 0 AS has_ein, c_custkey % 4 = 0 AS has_dd
+      FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             (a.has_mei AND b.has_mei AND a.mei = b.mei) AS mei_eq,
+             (a.has_lei AND b.has_lei AND a.lei = b.lei) AS lei_eq,
+             (a.has_ein AND b.has_ein AND a.ein = b.ein) AS ein_eq,
+             (a.has_dd AND b.has_dd AND a.dd = b.dd) AS dd_eq
+      FROM k a JOIN k b ON b.c_custkey = a.c_custkey + 60
+    )
+    SELECT id_a, id_b,
+           (CASE WHEN mei_eq THEN 40.0 WHEN lei_eq THEN 35.0
+                 WHEN ein_eq THEN 30.0 WHEN dd_eq THEN 25.0 ELSE 0.0 END
+            + CASE WHEN lei_eq AND mei_eq THEN 20.0 ELSE 0.0 END
+            + CASE WHEN ein_eq AND (mei_eq OR lei_eq) THEN 15.0 ELSE 0.0 END
+           ) AS identifier_score,
+           CASE WHEN (CAST(mei_eq AS INT) + CAST(lei_eq AS INT) + CAST(ein_eq AS INT)
+                 + CAST(dd_eq AND NOT (mei_eq OR lei_eq OR ein_eq) AS INT)) > 1
+                THEN (CAST(mei_eq AS INT) + CAST(lei_eq AS INT) + CAST(ein_eq AS INT)
+                 + CAST(dd_eq AND NOT (mei_eq OR lei_eq OR ein_eq) AS INT) - 1) * 5.0
+                ELSE 0.0 END AS multi_id_bonus
+    FROM pairs
+    WHERE (CASE WHEN mei_eq THEN 40.0 WHEN lei_eq THEN 35.0
+                WHEN ein_eq THEN 30.0 WHEN dd_eq THEN 25.0 ELSE 0.0 END
+           + CASE WHEN lei_eq AND mei_eq THEN 20.0 ELSE 0.0 END
+           + CASE WHEN ein_eq AND (mei_eq OR lei_eq) THEN 15.0 ELSE 0.0 END) > 0
+    ORDER BY id_a
+    """
+
+
+def q_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+K4 — confidence bucketing and MATCH/MANUAL_REVIEW/NO_MATCH bands
+    incl. the critical-discrepancy override (orchestrator:192-212)."""
+    from entity_matching_spark.operators.score import confidence_bucket, decision_expr
+
+    o = _read(spark, sf_dir, "orders")
+    # floor() keeps the score float-exact in both engines (round() differs on
+    # half-cent ties between Spark and DuckDB)
+    score = F.floor(F.col("o_totalprice") % 10000) / 100
+    crit = F.col("o_orderkey") % 13 == 0
+    return o.select(
+        "o_orderkey", score.alias("score"), crit.alias("has_critical"),
+        confidence_bucket(score).alias("confidence"),
+        decision_expr(score, crit).alias("decision"),
+    ).orderBy("o_orderkey")
+
+
+def _sql_decisions(sf: str) -> str:
+    return """
+    WITH s AS (
+      SELECT o_orderkey, floor(o_totalprice % 10000) / 100 AS score,
+             o_orderkey % 13 = 0 AS has_critical
+      FROM orders
+    )
+    SELECT o_orderkey, score, has_critical,
+           CASE WHEN score >= 95 THEN 'HIGH' WHEN score >= 85 THEN 'MEDIUM_HIGH'
+                WHEN score >= 70 THEN 'MEDIUM' ELSE 'REVIEW' END AS confidence,
+           CASE WHEN score >= 85 AND NOT has_critical THEN 'MATCH'
+                WHEN score >= 85 THEN 'MANUAL_REVIEW'
+                WHEN score >= 50 THEN 'MANUAL_REVIEW'
+                ELSE 'NO_MATCH' END AS decision
+    FROM s ORDER BY o_orderkey
+    """
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — per-probe top-5 by score desc with deterministic tie-break
+    (MatchingEngine.java:144-155 via row_number window)."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("match_rank", F.row_number().over(w))
+        .where(F.col("match_rank") <= 5)
+        .select("o_custkey", "match_rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "match_rank")
+    )
+
+
+def _sql_top_k(sf: str) -> str:
+    return """
+    SELECT o_custkey, match_rank, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS match_rank
+      FROM orders
+    ) WHERE match_rank <= 5 ORDER BY o_custkey, match_rank
+    """
+
+
+def q_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — batch decision report (EntityMatchingApplication.java:164-205)."""
+    d = q_decisions(spark, sf_dir)
+    return d.groupBy("decision").agg(F.count("*").alias("n")).orderBy("decision")
+
+
+def _sql_decision_report(sf: str) -> str:
+    return f"""
+    WITH d AS ({_sql_decisions(sf)})
+    SELECT decision, COUNT(*) AS n FROM d GROUP BY decision ORDER BY decision
+    """
+
+
+# ===========================================================================
+# Group F — validation lookups (F1 country normalization)
+# ===========================================================================
+
+def q_country_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — name->ISO-code normalization with passthrough-if-unknown
+    (util/CountryCodeValidator.java:93-107) over nation names."""
+    n = _read(spark, sf_dir, "nation")
+    up = F.upper(F.trim("n_name"))
+    cmap = F.create_map(*[F.lit(x) for kv in sorted(COUNTRY_NAME_TO_CODE.items()) for x in kv])
+    return n.select(
+        "n_nationkey", F.coalesce(cmap[up], up).alias("country_code")
+    ).orderBy("n_nationkey")
+
+
+def _sql_country_normalize(sf: str) -> str:
+    cases = " ".join(
+        "WHEN '{}' THEN '{}'".format(k.replace("'", "''"), v)
+        for k, v in sorted(COUNTRY_NAME_TO_CODE.items())
+    )
+    return f"""
+    SELECT n_nationkey,
+           CASE upper(trim(n_name)) {cases} ELSE upper(trim(n_name)) END AS country_code
+    FROM nation ORDER BY n_nationkey
+    """
+
+
+# ===========================================================================
+# Group J/S6 — connected components (large-star/small-star vs recursive CTE)
+# ===========================================================================
+
+def _cc_edges(spark, sf_dir) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") % 29 == 0)
+        .select(
+            F.concat(F.lit("c"), (F.col("o_custkey") % 200).cast("string")).alias("src"),
+            F.concat(F.lit("g"), (F.col("o_orderkey") % 97).cast("string")).alias("dst"),
+        )
+    )
+
+
+_SQL_CC_EDGES = """
+      SELECT 'c' || CAST(o_custkey % 200 AS VARCHAR) AS src,
+             'g' || CAST(o_orderkey % 97 AS VARCHAR) AS dst
+      FROM orders WHERE o_orderkey % 29 = 0
+"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — iterative large-star/small-star over a deterministic bipartite
+    edge set; oracle = transitive closure via recursive CTE. cluster_id is
+    the component's lexicographic minimum (operators/cluster.py)."""
+    from entity_matching_spark.operators.cluster import connected_components
+
+    cc = connected_components(_cc_edges(spark, sf_dir).toDF("conv_id_a", "conv_id_b"))
+    return cc.select(F.col("conv_id").alias("node"), "cluster_id").orderBy("node")
+
+
+def _sql_connected_components(sf: str) -> str:
+    return f"""
+    WITH RECURSIVE edges AS ({_SQL_CC_EDGES}),
+    undirected AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst AS a, src AS b FROM edges
+    ),
+    reach (a, b) AS (
+      SELECT a, b FROM undirected
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    closure AS (
+      SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM undirected
+    )
+    SELECT a AS node, min(b) AS cluster_id FROM closure GROUP BY a ORDER BY node
+    """
+
+
+# ===========================================================================
+# Training-data ops — deduplication family (beyond the reference; graded)
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy on md5(text), canonical = min doc_id."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+def _sql_dedup_exact(sf: str) -> str:
+    return """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY text_hash
+    """
+
+
+def q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/token Jaccard near-dup — distinct-token sets, candidate pairs
+    blocked by `source`, Jaccard = |inter| / |union|, threshold 0.5."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).where(F.col("tok") != "")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "source", "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "source", "tok")
+    inter = (
+        a.join(b, ["source", "tok"]).where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 9))
+    )
+    return j.where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+def _sql_dedup_token_jaccard(sf: str) -> str:
+    return """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM toks2 a JOIN toks2 b ON a.source = b.source AND a.tok = b.tok
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 9) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+_MINHASH_K = 8
+_MINHASH_BANDS = 4  # rows per band r = 2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH — k=8 md5-based minhashes over distinct tokens, banded
+    r=2 into 4 buckets; emits candidate pairs sharing a band bucket. The
+    md5-derived hash family is engine-independent, so DuckDB reproduces the
+    exact signatures."""
+    d = _read(spark, sf_dir, "documents")
+    # 3-token shingles: slice the token array at every start position —
+    # word-level shingling keeps the hash family discriminative (single
+    # tokens share a tiny vocabulary and collide into useless mega-buckets)
+    arr = F.filter(F.split("text", " "), lambda t: t != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
+        )
+    )
+    toks = d.select("doc_id", F.explode(shingles).alias("tok"))
+    h = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("i"),
+        F.col("tok"),
+    ).select(
+        "doc_id", "i",
+        F.substring(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), "tok")), 1, 12).alias("hv"),
+    )
+    sig = h.groupBy("doc_id", "i").agg(F.min("hv").alias("mh"))
+    band = sig.withColumn("band", (F.col("i") / 2).cast("int")).groupBy("doc_id", "band").agg(
+        F.concat_ws("_", F.sort_array(F.collect_list(F.concat_ws(":", F.col("i").cast("string"), "mh")))).alias("bucket")
+    )
+    a = band.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = band.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band").distinct().orderBy("doc_a", "doc_b", "band")
+    )
+
+
+def _sql_dedup_minhash_lsh(sf: str) -> str:
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+      FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+                    i -> array_to_string(list_slice(arr, i, i + 2), ' '))) AS tok
+      FROM arrs
+    ), toks2 AS (SELECT * FROM toks),
+    h AS (
+      SELECT doc_id, i, substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 12) AS hv
+      FROM toks2 CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS i)
+    ),
+    sig AS (SELECT doc_id, i, min(hv) AS mh FROM h GROUP BY doc_id, i),
+    band AS (
+      SELECT doc_id, CAST(floor(i / 2) AS INT) AS band,
+             string_agg(CAST(i AS VARCHAR) || ':' || mh, '_' ORDER BY CAST(i AS VARCHAR) || ':' || mh) AS bucket
+      FROM sig GROUP BY doc_id, 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band
+    FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b, band
+    """
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash — 32-bit signature from md5-derived per-token bit vectors,
+    native Spark bit arithmetic (conv + shiftright). No SQL oracle: DuckDB
+    lacks a compatible hex->bigint conversion; driver records rows-only."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).where(F.col("tok") != "")
+    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    bits = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), hv.alias("hv")
+    ).select(
+        "doc_id", "bit",
+        (F.expr("shiftright(hv, bit) & 1") * 2 - 1).alias("contrib"),
+    )
+    sig = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s")).select(
+        "doc_id", "bit", (F.col("s") > 0).cast("long").alias("b")
+    )
+    sim = sig.groupBy("doc_id").agg(
+        F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash")
+    )
+    return sim.orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting — winnowing-style: min md5 over 16-char
+    windows sampled every 8 chars (rolling-hash analog, engine-portable)."""
+    d = _read(spark, sf_dir, "documents")
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 15, F.lit(1)), F.lit(8)))
+    w = d.select("doc_id", "text", pos.alias("p")).select(
+        "doc_id", F.md5(F.substring(F.col("text"), F.col("p"), 16)).alias("h")
+    )
+    return w.groupBy("doc_id").agg(F.min("h").alias("fingerprint")).orderBy("doc_id")
+
+
+def _sql_fingerprint(sf: str) -> str:
+    return """
+    WITH w AS (
+      SELECT doc_id, md5(substr(text, CAST(p AS INT), 16)) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 15, 1), 8)) AS p)
+    )
+    SELECT doc_id, min(h) AS fingerprint FROM w GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+# ===========================================================================
+# Training-data ops — embedding similarity search
+# ===========================================================================
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for probe vectors (vec_id < 20) —
+    the exact baseline for ANN; F.zip_with/F.aggregate keeps the arithmetic
+    JVM-side. Output is ids+rank only (float-free, hash-stable)."""
+    e = _read(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sims = (
+        probes.crossJoin(cand)
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "neighbor_id",
+            _cosine(F.col("pe").cast("array<double>"), F.col("ce").cast("array<double>")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+        .select("probe_id", "rank", "neighbor_id").orderBy("probe_id", "rank")
+    )
+
+
+def _sql_ann_cosine_topk(sf: str) -> str:
+    return """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 20
+    ), sims AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM probes, embeddings e WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, rank, neighbor_id FROM (
+      SELECT probe_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 3 ORDER BY probe_id, rank
+    """
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer — centroids := vectors with vec_id < 16 (a
+    deterministic seed set); every vector is assigned to its nearest centroid
+    by cosine. The scale path: search only the probe's cell instead of all
+    vectors (the bucketed variant of q_ann_cosine_topk)."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id",
+        _cosine(F.col("embedding").cast("array<double>"), F.col("cemb").cast("array<double>")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1)
+        .select("vec_id", "centroid_id").orderBy("vec_id")
+    )
+
+
+def _sql_ann_ivf_assign(sf: str) -> str:
+    return """
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings WHERE vec_id < 16
+    ), sims AS (
+      SELECT e.vec_id, centroid_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(cemb AS DOUBLE[])) AS cos
+      FROM embeddings e, cents
+    )
+    SELECT vec_id, centroid_id FROM (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+      FROM sims
+    ) WHERE r = 1 ORDER BY vec_id
+    """
+
+
+# ===========================================================================
+# Training-data ops — text analysis
+# ===========================================================================
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokens + BPE-ish subword-regex count."""
+    d = _read(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"([A-Za-z]{1,4}|\d+|[^\sA-Za-z\d])"), 1))
+    return d.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _sql_token_stats(sf: str) -> str:
+    return r"""
+    SELECT doc_id, length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]{1,4}|\d+|[^\sA-Za-z\d])', 1)) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """
+
+
+_STOPWORDS = ["the", "a", "and", "of", "in", "to", "is", "on", "for", "with"]
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring — length/punctuation/stopword ratios combined into a
+    [0,1] heuristic (training-data filtering primitive)."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    len_score = F.least(F.length("text") / 500.0, F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    punct_ratio = F.when(F.length("text") > 0, n_punct / F.length("text")).otherwise(0.0)
+    q = F.round(0.5 * len_score + 0.4 * F.least(stop_ratio * 4, F.lit(1.0))
+                + 0.1 * (1 - F.least(punct_ratio * 10, F.lit(1.0))), 9)
+    return d.select(
+        "doc_id", n_tok.alias("n_tokens"), n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"), q.alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _sql_quality_score(sf: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains([{stops}], x))) AS n_stopwords,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_stopwords, n_punct,
+           round(0.5 * least(length(text) / 500.0, 1.0)
+                 + 0.4 * least(CASE WHEN n_tokens > 0
+                               THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END * 4, 1.0)
+                 + 0.1 * (1 - least(CASE WHEN length(text) > 0
+                               THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END * 10, 1.0)), 9)
+             AS quality
+    FROM m ORDER BY doc_id
+    """
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "de", "y"],
+    "de": ["der", "die", "und", "das"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID — stopword-marker voting (n-gram heuristic family);
+    argmax with deterministic tie-break on language code."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (hits, lang) — max struct comparison; tie-break: LAST lang in
+    # order wins under max(); invert via hits desc then lang asc using sort
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return d.select("doc_id", "lang", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+def _sql_lang_id(sf: str) -> str:
+    structs = ", ".join(
+        "{'hits': len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + f"], x))), 'lang': '{lang}'}}"
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, list_reverse_sort([{structs}]) AS arr FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN arr[1].hits > 0 THEN arr[1].lang ELSE 'unknown' END AS pred_lang
+    FROM s ORDER BY doc_id
+    """
+
+
+# ===========================================================================
+# Multimodal plumbing (binary columns + Arrow batch feature extraction)
+# ===========================================================================
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing — documents as opaque binary payloads with
+    typed metadata; feature extraction via mapInPandas over Arrow batches.
+    The decode step is a deterministic fake (byte-level stats standing in
+    for image/audio decoding — those libs are absent here); the Spark-side
+    schema, batching and partitioning are real. No SQL oracle (binary+UDF);
+    driver records rows-only."""
+    from entity_matching_spark.operators.multimodal import extract_binary_features
+
+    d = _read(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length("text").alias("n_bytes"),
+    )
+    return extract_binary_features(payloads).orderBy("doc_id")
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER DAG (assemble -> extract -> block -> score ->
+    decide) over transcripts derived from /root/testdata/sf0.001 events,
+    with synthetic identifier lines injected so identifier blocking fires."""
+    sf_dir = "/root/testdata/sf0.001"
+    from entity_matching_spark.operators.assemble import build_records
+    from entity_matching_spark.operators.blocking import generate_blocking_keys, generate_pairs
+    from entity_matching_spark.operators.score import score_pairs
+
+    e = _read(spark, sf_dir, "events")
+    # synthesize transcript turns: identifier line forces MEI collisions
+    # across conversations (user_id % 40), name line varies by event_type
+    transcripts = e.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 100000).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.concat(
+            F.lit("Legal Name: Acme "), F.initcap("event_type"), F.lit(" Fund LLC\n"),
+            F.lit("MEI: US"), F.lpad((F.col("user_id") % 5 * 11).cast("string"), 8, "0"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    ).dropDuplicates(["conv_id", "turn_idx"])
+    records = build_records(transcripts)
+    keys = generate_blocking_keys(records)
+    pairs, _ = generate_pairs(keys)
+    scored = score_pairs(records, pairs)
+    return scored.groupBy("strategy", "decision").agg(
+        F.count("*").alias("n_pairs"), F.round(F.avg("score"), 2).alias("avg_score")
+    ).orderBy("strategy", "decision")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "em_assemble": q_assemble,
+        "em_extract_identifiers": q_extract_identifiers,
+        "em_clean_name_key": q_clean_name_key,
+        "em_block_pairs": q_block_pairs,
+        "em_sorted_neighborhood": q_sorted_neighborhood,
+        "em_normalize_names": q_normalize_names,
+        "em_jaro_winkler": q_jaro_winkler,
+        "em_levenshtein": q_levenshtein,
+        "em_identifier_scoring": q_identifier_scoring,
+        "em_decisions": q_decisions,
+        "em_top_k": q_top_k,
+        "em_decision_report": q_decision_report,
+        "em_country_normalize": q_country_normalize,
+        "em_connected_components": q_connected_components,
+        "dedup_exact": q_dedup_exact,
+        "dedup_token_jaccard": q_dedup_token_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,          # rows-only (no oracle)
+        "doc_fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        "text_token_stats": q_token_stats,
+        "text_quality_score": q_quality_score,
+        "text_lang_id": q_lang_id,
+        "multimodal_features": q_multimodal_features,  # rows-only (binary+UDF)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sf = ""
+    return {
+        "em_assemble": _sql_assemble(sf),
+        "em_extract_identifiers": _sql_extract_identifiers(sf),
+        "em_clean_name_key": _sql_clean_name_key(sf),
+        "em_block_pairs": _sql_block_pairs(sf),
+        "em_sorted_neighborhood": _sql_sorted_neighborhood(sf),
+        "em_normalize_names": _sql_normalize_names(sf),
+        "em_jaro_winkler": _sql_jaro_winkler(sf),
+        "em_levenshtein": _sql_levenshtein(sf),
+        "em_identifier_scoring": _sql_identifier_scoring(sf),
+        "em_decisions": _sql_decisions(sf),
+        "em_top_k": _sql_top_k(sf),
+        "em_decision_report": _sql_decision_report(sf),
+        "em_country_normalize": _sql_country_normalize(sf),
+        "em_connected_components": _sql_connected_components(sf),
+        "dedup_exact": _sql_dedup_exact(sf),
+        "dedup_token_jaccard": _sql_dedup_token_jaccard(sf),
+        "dedup_minhash_lsh": _sql_dedup_minhash_lsh(sf),
+        "doc_fingerprint": _sql_fingerprint(sf),
+        "ann_cosine_topk": _sql_ann_cosine_topk(sf),
+        "ann_ivf_assign": _sql_ann_ivf_assign(sf),
+        "text_token_stats": _sql_token_stats(sf),
+        "text_quality_score": _sql_quality_score(sf),
+        "text_lang_id": _sql_lang_id(sf),
+    }

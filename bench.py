@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): candidate-pairs-scored/sec through the full
+record-linkage DAG (assemble -> extract -> block -> salted pair-join -> score
+-> decide) over a synthetic transcript corpus sized to the scale factor,
+plus per-query wall times for representative operators over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  EM_BENCH_FAMILIES   override ER corpus size (families)
+
+Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors) is
+produced by tools/bench_scaling.py which runs THIS pipeline at local[8] and
+local[32]; results in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_er_pipeline(spark, n_families: int) -> dict:
+    from entity_matching_spark.operators.assemble import build_records
+    from entity_matching_spark.operators.blocking import generate_blocking_keys, generate_pairs
+    from entity_matching_spark.operators.cluster import connected_components
+    from entity_matching_spark.operators.score import match_edges, score_pairs
+    from entity_matching_spark.sources.synth import generate_corpus, transcripts_to_spark
+
+    t0 = time.time()
+    pdf, _ = generate_corpus(n_families=n_families)
+    transcripts = transcripts_to_spark(spark, pdf).localCheckpoint()
+    n_turns = transcripts.count()
+    gen_s = time.time() - t0
+
+    t1 = time.time()
+    records = build_records(transcripts).localCheckpoint()
+    n_records = records.count()
+    assemble_s = time.time() - t1
+
+    t2 = time.time()
+    keys = generate_blocking_keys(records)
+    pairs, dropped = generate_pairs(keys)
+    pairs = pairs.localCheckpoint()
+    n_pairs = pairs.count()
+    block_s = time.time() - t2
+
+    t3 = time.time()
+    scored = score_pairs(records, pairs).localCheckpoint()
+    n_scored = scored.count()
+    score_s = time.time() - t3
+
+    t4 = time.time()
+    edges = match_edges(scored)
+    cc = connected_components(edges)
+    n_clustered = cc.count()
+    cc_s = time.time() - t4
+
+    return {
+        "turns": n_turns, "records": n_records, "pairs": n_pairs,
+        "scored": n_scored, "clustered_nodes": n_clustered,
+        "gen_s": round(gen_s, 2), "assemble_s": round(assemble_s, 2),
+        "block_s": round(block_s, 2), "score_s": round(score_s, 2),
+        "cc_s": round(cc_s, 2),
+        "er_wall_s": round(assemble_s + block_s + score_s + cc_s, 2),
+        "pairs_scored_per_sec": round(n_scored / max(score_s, 1e-9), 1),
+    }
+
+
+# testdata queries benchmarked per round (subset of __spark_entry__.queries())
+BENCH_QUERIES = [
+    "em_assemble", "em_extract_identifiers", "em_normalize_names",
+    "em_jaro_winkler", "em_levenshtein", "em_sorted_neighborhood",
+    "em_top_k", "em_connected_components",
+    "dedup_minhash_lsh", "dedup_token_jaccard", "doc_fingerprint",
+    "ann_cosine_topk", "text_quality_score", "text_lang_id",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_families = int(os.environ.get("EM_BENCH_FAMILIES", max(200, int(20000 * sf))))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("em-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("EM_BENCH_DRIVER_MEM", "24g"))
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    t_total = time.time()
+    log(f"[bench] ER pipeline: {n_families} families, local[{cpus}]")
+    er = run_er_pipeline(spark, n_families)
+    log(f"[bench] ER done: {er}")
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    bench_queries = [] if os.environ.get("EM_BENCH_QUERIES_SKIP") else BENCH_QUERIES
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        qtimes[name] = round(time.time() - t0, 3)
+        log(f"[bench] {name}: {n} rows in {qtimes[name]}s")
+    qtimes["er_pipeline"] = er["er_wall_s"]
+
+    total = round(time.time() - t_total - er["gen_s"], 2)
+    out = {
+        "metric": "candidate_pairs_scored_per_sec",
+        "value": er["pairs_scored_per_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "total_wall_sec": total,
+        "cpus": cpus,
+        "er": er,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,6 +22,7 @@ Reference parity:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 
 def _encode_padded(strings) -> tuple[np.ndarray, np.ndarray]:
@@ -177,6 +178,24 @@ def token_jaccard_batch(a_strings, b_strings) -> np.ndarray:
         else:
             out[k] = len(sx & sy) / len(sx | sy)
     return out
+
+
+def build_jw_udf(commons_distance_mode: bool = False):
+    """Arrow-batched pandas UDF over ``jaro_winkler_batch`` (defined here so
+    the type hints resolve against this module's globals)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            jaro_winkler_batch(
+                a.fillna("").tolist(), b.fillna("").tolist(),
+                commons_distance_mode=commons_distance_mode,
+            )
+        )
+
+    return jw
 
 
 # --- scalar references (used by tests as an independent oracle) -------------

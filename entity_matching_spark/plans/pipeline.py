@@ -1,0 +1,99 @@
+"""The end-to-end record-linkage pipeline driver (S0 -> S7, SURVEY.md §3.4).
+
+One linear DAG, each stage a checkpointed table:
+
+    S0 transcripts  (Iceberg/Parquet scan)
+    S1 records      assemble + extract + normalize + type-detect
+    S2 keys         multi-pass blocking keys          (derived, not persisted)
+    S3 pairs        salted self-join + precedence     [checkpoint]
+    S4 scored       similarity + discrepancies + score + decision [checkpoint]
+    S5 edges        decision == MATCH                 (derived)
+    S6 components   large-star/small-star fixpoint    [checkpoint]
+    S7 clusters     all records labeled               [checkpoint]
+
+`run_pipeline` is resumable: pass the same ``work_dir`` and completed stages
+(matching config hash + upstream chain) are read back instead of recomputed —
+kill the job after S3 and the rerun starts at S4 (pinned by
+tests/test_pipeline.py::test_resume_after_pairs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_CONFIG, MatchConfig
+from ..operators.assemble import build_records
+from ..operators.blocking import generate_blocking_keys, generate_pairs, profile_block_keys
+from ..operators.cluster import assign_clusters, connected_components
+from ..operators.score import match_edges, score_pairs
+from .checkpoint import StageCheckpointer
+
+# Columns persisted for the scored-pairs table (the full join product carries
+# every per-side field; the checkpoint keeps the decision-relevant subset —
+# ~20 columns instead of ~60, so the 10^12-scale shuffle writes stay lean)
+SCORED_COLS = [
+    "conv_id_a", "conv_id_b", "strategy", "pass", "block_key",
+    "identifier_score", "name_score", "email_boost", "geo_score", "tax_score",
+    "multi_id_bonus", "dup_penalty", "discrepancy_penalty", "discrepancies",
+    "has_critical", "score", "confidence", "decision",
+]
+
+
+@dataclass
+class PipelineResult:
+    records: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    components: DataFrame
+    clusters: DataFrame
+    dropped_keys: DataFrame
+    metrics: list
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    work_dir: str,
+    config: MatchConfig | None = None,
+    resume: bool = True,
+) -> PipelineResult:
+    cfg = config or DEFAULT_CONFIG
+    ck = StageCheckpointer(work_dir, run_id=cfg.params_hash())
+    h = cfg.params_hash()
+
+    def stage(name: str, upstream: str, build):
+        if resume and ck.is_complete(name, h, upstream):
+            return ck.read(spark, name)
+        df = build()
+        ck.write(name, df, h, upstream)
+        return ck.read(spark, name)
+
+    records = stage("s1_records", "", lambda: build_records(transcripts, cfg))
+
+    def build_pairs():
+        keys = generate_blocking_keys(records, cfg)
+        pairs, dropped = generate_pairs(keys, cfg)
+        # dropped hot keys are surfaced, never silently discarded
+        ck.write("s2_dropped_keys", dropped, h, "s1")
+        return pairs
+
+    pairs = stage("s3_pairs", "s1", build_pairs)
+    scored = stage(
+        "s4_scored", "s1+s3",
+        lambda: score_pairs(records, pairs, cfg).select(*SCORED_COLS),
+    )
+    components = stage(
+        "s6_components", "s4", lambda: connected_components(match_edges(scored), cfg)
+    )
+    clusters = stage(
+        "s7_clusters", "s1+s6",
+        lambda: assign_clusters(records.select("conv_id"), components),
+    )
+
+    dropped = ck.read(spark, "s2_dropped_keys")
+    return PipelineResult(
+        records=records, pairs=pairs, scored=scored, components=components,
+        clusters=clusters, dropped_keys=dropped, metrics=ck.metrics(),
+    )

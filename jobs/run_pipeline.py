@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the record-linkage pipeline.
+
+Cluster usage (north rule: runs via spark-submit --py-files on multi-executor
+clusters at N and 4N executors):
+
+    bash tools/build_pyfiles.sh           # -> dist/entity_matching_spark.zip
+    spark-submit --py-files dist/entity_matching_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.adaptive.skewJoin.enabled=true \
+        jobs/run_pipeline.py --input /data/transcripts --out /data/em_run
+
+Local smoke (synthesizes a deterministic corpus when --input is omitted):
+
+    python jobs/run_pipeline.py --out /tmp/em_run --families 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# local runs: make the repo-root package importable; under spark-submit the
+# package arrives via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="transcripts parquet path (conv_id, turn_idx, role, text, tool, ts)")
+    ap.add_argument("--out", required=True, help="work/checkpoint directory")
+    ap.add_argument("--families", type=int, default=200,
+                    help="synthetic corpus size when --input is omitted")
+    ap.add_argument("--master", default=None, help="override master (default: from spark-submit)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--fresh", action="store_true", help="ignore+overwrite existing checkpoints")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("entity-matching-pipeline")
+    if args.master:
+        b = b.master(args.master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from entity_matching_spark.config import DEFAULT_CONFIG
+    from entity_matching_spark.plans.pipeline import run_pipeline
+
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        from entity_matching_spark.sources.synth import generate_corpus, transcripts_to_spark
+
+        pdf, _labels = generate_corpus(n_families=args.families)
+        transcripts = transcripts_to_spark(spark, pdf)
+
+    t0 = time.time()
+    result = run_pipeline(
+        spark, transcripts, args.out, DEFAULT_CONFIG, resume=not (args.no_resume or args.fresh)
+    )
+    n_clusters = result.clusters.select("cluster_id").distinct().count()
+    n_records = result.records.count()
+    n_pairs = result.scored.count()
+    summary = {
+        "records": n_records,
+        "scored_pairs": n_pairs,
+        "clusters": n_clusters,
+        "dropped_hot_keys": result.dropped_keys.count(),
+        "wall_sec": round(time.time() - t0, 2),
+        "stages": [
+            {k: m[k] for k in ("stage", "output_rows", "wall_ms")} for m in result.metrics
+        ],
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(args.out, "run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

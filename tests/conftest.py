@@ -17,7 +17,8 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

@@ -1,0 +1,99 @@
+"""Pipeline driver tests: checkpoint manifests, resume semantics, config
+invalidation, determinism across resume (FIXTURES.md §5.5-5.6)."""
+
+import json
+import os
+
+import pytest
+
+from entity_matching_spark.config import MatchConfig
+from entity_matching_spark.plans.checkpoint import StageCheckpointer
+from entity_matching_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def small_transcripts(spark):
+    from entity_matching_spark.sources.synth import generate_corpus, transcripts_to_spark
+
+    t, _ = generate_corpus(n_families=24, chain_families=2, p10_families=2)
+    return transcripts_to_spark(spark, t).cache()
+
+
+class TestCheckpointer:
+    def test_manifest_lineage(self, spark, tmp_path):
+        ck = StageCheckpointer(str(tmp_path), run_id="t")
+        df = spark.range(100).withColumnRenamed("id", "x")
+        m = ck.write("s_test", df, params_hash="abc", upstream_hash="")
+        assert m["status"] == "complete"
+        assert m["output_rows"] == 100
+        assert sum(p["rows"] for p in m["partitions"]) == 100
+        assert all("partition_id" in p for p in m["partitions"])
+        assert ck.is_complete("s_test", "abc")
+        assert not ck.is_complete("s_test", "other-hash")
+        got = ck.read(spark, "s_test")
+        assert got.count() == 100
+
+    def test_manifest_on_disk(self, spark, tmp_path):
+        ck = StageCheckpointer(str(tmp_path), run_id="t")
+        ck.write("s_x", spark.range(5), params_hash="h")
+        with open(os.path.join(str(tmp_path), "s_x_manifest.json")) as f:
+            m = json.load(f)
+        assert m["stage"] == "s_x" and m["params_hash"] == "h"
+
+
+class TestPipelineResume:
+    def test_full_run_and_resume(self, spark, small_transcripts, tmp_path):
+        wd = str(tmp_path / "run1")
+        cfg = MatchConfig()
+        r1 = run_pipeline(spark, small_transcripts, wd, cfg)
+        clusters1 = sorted(
+            (row["conv_id"], row["cluster_id"]) for row in r1.clusters.collect()
+        )
+        assert len(clusters1) > 0
+
+        # resume with all checkpoints present: stage dirs untouched
+        mtimes = {
+            s: os.path.getmtime(os.path.join(wd, f"{s}_manifest.json"))
+            for s in ["s1_records", "s3_pairs", "s4_scored", "s6_components", "s7_clusters"]
+        }
+        r2 = run_pipeline(spark, small_transcripts, wd, cfg)
+        for s, t in mtimes.items():
+            assert os.path.getmtime(os.path.join(wd, f"{s}_manifest.json")) == t, s
+        clusters2 = sorted(
+            (row["conv_id"], row["cluster_id"]) for row in r2.clusters.collect()
+        )
+        assert clusters1 == clusters2
+
+    def test_resume_after_pairs(self, spark, small_transcripts, tmp_path):
+        """Kill after S3 (simulated: delete downstream checkpoints) — the
+        rerun reuses s1/s3 and recomputes s4+ with identical final clusters
+        (FIXTURES.md §5.6)."""
+        wd = str(tmp_path / "run2")
+        cfg = MatchConfig()
+        r1 = run_pipeline(spark, small_transcripts, wd, cfg)
+        clusters1 = sorted(map(tuple, r1.clusters.select("conv_id", "cluster_id").collect()))
+
+        for s in ["s4_scored", "s6_components", "s7_clusters"]:
+            os.remove(os.path.join(wd, f"{s}_manifest.json"))
+        t_pairs = os.path.getmtime(os.path.join(wd, "s3_pairs_manifest.json"))
+
+        r2 = run_pipeline(spark, small_transcripts, wd, cfg)
+        assert os.path.getmtime(os.path.join(wd, "s3_pairs_manifest.json")) == t_pairs
+        clusters2 = sorted(map(tuple, r2.clusters.select("conv_id", "cluster_id").collect()))
+        assert clusters1 == clusters2
+
+    def test_config_change_invalidates(self, spark, small_transcripts, tmp_path):
+        wd = str(tmp_path / "run3")
+        run_pipeline(spark, small_transcripts, wd, MatchConfig())
+        ck = StageCheckpointer(wd)
+        h2 = MatchConfig(sorted_neighborhood_window=5).params_hash()
+        assert not ck.is_complete("s3_pairs", h2, "s1")
+
+    def test_metrics_sidecar(self, spark, small_transcripts, tmp_path):
+        wd = str(tmp_path / "run4")
+        r = run_pipeline(spark, small_transcripts, wd, MatchConfig())
+        stages = {m["stage"] for m in r.metrics}
+        assert {"s1_records", "s2_dropped_keys", "s3_pairs", "s4_scored",
+                "s6_components", "s7_clusters"} <= stages
+        for m in r.metrics:
+            assert m["wall_ms"] >= 0 and "partitions" in m
