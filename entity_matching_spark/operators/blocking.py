@@ -63,28 +63,29 @@ def generate_blocking_keys(records: DataFrame, config: MatchConfig | None = None
     """
     cfg = config or DEFAULT_CONFIG
 
-    parts = []
-
-    def add(pass_name: str, key_col):
-        parts.append(
-            records.select(
-                "conv_id",
-                F.lit(pass_name).alias("pass"),
-                _key(pass_name, key_col).alias("key"),
-            ).where(key_col.isNotNull())
+    # All equi-key passes in ONE scan of the records table: per record build
+    # an array of (pass, key) structs, compact out the null-valued ones, and
+    # explode. One column-pruned scan + one explode instead of 7 scans.
+    def entry(pass_name: str, key_col):
+        return F.when(
+            key_col.isNotNull(),
+            F.struct(F.lit(pass_name).alias("pass"), _key(pass_name, key_col).alias("key")),
         )
 
-    # B1/B2/B4 equi-keys; B3 hyphen-stripped EIN (sql/findByEIN.sql:2)
-    add("mei", F.col("mei"))
-    add("lei", F.col("lei"))
-    add("ein", F.col("ein_nohyphen"))
-    add("debt_domain", F.col("debt_domain_id"))
-    # B7 cleaned-name key (sql/findByCleanedShortName.sql + caller pre-clean
-    # at repository/LoanIQRepository.java:168-173)
-    add("cleanname", F.col("clean_name_key"))
-    # B6 email-domain key
-    add("email_domain", F.col("email_domain"))
-
+    equi_keys = F.array_compact(
+        F.array(
+            # B1/B2/B4 equi-keys; B3 hyphen-stripped EIN (sql/findByEIN.sql:2)
+            entry("mei", F.col("mei")),
+            entry("lei", F.col("lei")),
+            entry("ein", F.col("ein_nohyphen")),
+            entry("debt_domain", F.col("debt_domain_id")),
+            # B7 cleaned-name key (sql/findByCleanedShortName.sql + caller
+            # pre-clean at repository/LoanIQRepository.java:168-173)
+            entry("cleanname", F.col("clean_name_key")),
+            # B6 email-domain key
+            entry("email_domain", F.col("email_domain")),
+        )
+    )
     # B5 analog: token keys over the D6-normalized legal name. The LIKE
     # %name% contains-scan cannot scale as a self-join; token co-occurrence
     # gives equivalent-or-better recall for multi-token names (SURVEY.md §2 B5)
@@ -94,19 +95,15 @@ def generate_blocking_keys(records: DataFrame, config: MatchConfig | None = None
             lambda t: F.length(t) >= cfg.name_token_min_len,
         )
     )
-    tok = records.select(
-        "conv_id", F.explode(tokens).alias("tok")
-    ).select(
-        "conv_id", F.lit("nametok").alias("pass"), _key("nametok", F.col("tok")).alias("key")
+    tok_keys = F.transform(
+        tokens,
+        lambda t: F.struct(F.lit("nametok").alias("pass"), _key("nametok", t).alias("key")),
     )
-    parts.append(tok)
+    flat = records.select(
+        "conv_id", F.explode(F.concat(equi_keys, tok_keys)).alias("pk")
+    ).select("conv_id", F.col("pk.pass").alias("pass"), F.col("pk.key").alias("key"))
 
-    parts.append(sorted_neighborhood_keys(records, cfg))
-
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return flat.unionByName(sorted_neighborhood_keys(records, cfg))
 
 
 def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = None) -> DataFrame:

@@ -88,13 +88,16 @@ def connected_components(
     if checkpoint:
         e = e.localCheckpoint()
 
+    n_prev = e.count()
     for _ in range(cfg.cc_max_iterations):
         e2 = _small_star(_large_star(e))
         if checkpoint:
             e2 = e2.localCheckpoint()
-        # convergence: the canonical edge set is unchanged
-        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        e = e2
+        # convergence: both sides are distinct sets, so equal counts plus an
+        # empty one-way difference proves set equality (one anti-join, not two)
+        n2 = e2.count()
+        changed = 1 if n2 != n_prev else e2.exceptAll(e).limit(1).count()
+        e, n_prev = e2, n2
         if changed == 0:
             break
 
