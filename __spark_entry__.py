@@ -947,6 +947,56 @@ def _sql_lang_id(sf: str) -> str:
     """
 
 
+def q_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-vs-catalog matching mode (operators/catalog.py): catalog built
+    from supplier, probes from customer, identifiers aligned so MEI blocking
+    fires; full S4 scoring incl. location-UNION semantics. Rows-only (the
+    scoring pandas UDF has no SQL equivalent)."""
+    from entity_matching_spark.operators.catalog import match_records_to_catalog
+    from entity_matching_spark.operators.score import SIDE_COLS
+
+    s = _read(spark, sf_dir, "supplier")
+    catalog = s.select(
+        F.col("s_suppkey").cast("bigint").alias("entity_id"),
+        F.concat(F.lit("Supplier "), (F.col("s_suppkey") % 50).cast("string"),
+                 F.lit(" Capital")).alias("full_name"),
+        F.concat(F.lit("sup"), F.col("s_suppkey").cast("string")).alias("short_name"),
+        F.lit(None).cast("string").alias("ultimate_parent"),
+        F.concat(F.lit("US"), F.lpad((F.col("s_suppkey") % 50 * 7).cast("string"), 8, "0")).alias("mei"),
+        F.lit(None).cast("string").alias("lei"),
+        F.lit(None).cast("string").alias("ein"),
+        F.lit(None).cast("string").alias("debt_domain_id"),
+        F.lit(None).cast("string").alias("email_domain"),
+        F.lit("US").alias("country_code"),
+        F.lit(None).cast("string").alias("legal_address"),
+        F.lit(None).cast("string").alias("tax_address"),
+        F.when(F.col("s_suppkey") % 10 == 0, "LOCATION").otherwise("MAIN").alias("record_type"),
+        F.when(F.col("s_suppkey") % 20 == 0, F.col("s_suppkey").cast("bigint")).alias("parent_customer_id"),
+        F.lit(None).cast("timestamp").alias("last_modified"),
+    )
+    c = _read(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    cols = ["conv_id", "norm_tax_text"] + [
+        x for x in SIDE_COLS if x not in ("conv_id", "has_tax")
+    ]
+    name = F.concat(F.lit("Supplier "), (F.col("c_custkey") % 50).cast("string"), F.lit(" Capital"))
+    base = {
+        "conv_id": F.concat(F.lit("conv"), F.lpad(F.col("c_custkey").cast("string"), 8, "0")),
+        "mei": F.concat(F.lit("US"), F.lpad((F.col("c_custkey") % 50 * 7).cast("string"), 8, "0")),
+        "legal_name": name,
+        "norm_legal_name": F.lower(name),
+        "clean_name_key": F.regexp_replace(F.lower(name), "[^a-z0-9]", ""),
+        "country_code": F.lit("US"),
+        "entity_type": F.lit("UNKNOWN"),
+    }
+    probes = c.select(*[
+        (base[x] if x in base else F.lit(None).cast("string")).alias(x) for x in cols
+    ])
+    scored = match_records_to_catalog(probes, catalog)
+    return scored.select(
+        "probe_conv_id", "entity_id", "strategy", "identifier_score", "score", "decision"
+    ).orderBy("probe_conv_id", "entity_id")
+
+
 # ===========================================================================
 # Multimodal plumbing (binary columns + Arrow batch feature extraction)
 # ===========================================================================
@@ -1026,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,          # rows-only (no oracle)
+        "em_catalog_match": q_catalog_match,       # rows-only (pandas-UDF scoring)
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_assign": q_ann_ivf_assign,

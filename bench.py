@@ -30,48 +30,48 @@ def log(*a):
 
 
 def run_er_pipeline(spark, n_families: int) -> dict:
-    from entity_matching_spark.operators.assemble import build_records
-    from entity_matching_spark.operators.blocking import generate_blocking_keys, generate_pairs
-    from entity_matching_spark.operators.cluster import connected_components
-    from entity_matching_spark.operators.score import match_edges, score_pairs
+    """Run the PRODUCTION pipeline path (plans/pipeline.py with parquet stage
+    checkpoints) into a fresh work dir; stage timings come from the lineage
+    manifests, so the benchmark measures exactly what a cluster run does.
+
+    Set EM_BENCH_TRANSCRIPTS to a parquet path to reuse a pre-generated
+    corpus (the scaling harness generates once and runs twice)."""
+    import shutil
+    import tempfile
+
+    from entity_matching_spark.plans.pipeline import run_pipeline
     from entity_matching_spark.sources.synth import generate_corpus, transcripts_to_spark
 
     t0 = time.time()
-    pdf, _ = generate_corpus(n_families=n_families)
-    transcripts = transcripts_to_spark(spark, pdf).localCheckpoint()
+    pre = os.environ.get("EM_BENCH_TRANSCRIPTS")
+    if pre:
+        transcripts = spark.read.parquet(pre)
+    else:
+        pdf, _ = generate_corpus(n_families=n_families)
+        transcripts = transcripts_to_spark(spark, pdf).localCheckpoint()
     n_turns = transcripts.count()
     gen_s = time.time() - t0
 
+    workdir = tempfile.mkdtemp(prefix="em_bench_")
     t1 = time.time()
-    records = build_records(transcripts).localCheckpoint()
-    n_records = records.count()
-    assemble_s = time.time() - t1
+    result = run_pipeline(spark, transcripts, workdir, resume=False)
+    er_wall_s = time.time() - t1
+    stages = {m["stage"]: m for m in result.metrics}
+    n_clustered = stages["s6_components"]["output_rows"]
+    shutil.rmtree(workdir, ignore_errors=True)
 
-    t2 = time.time()
-    keys = generate_blocking_keys(records)
-    pairs, dropped = generate_pairs(keys)
-    pairs = pairs.localCheckpoint()
-    n_pairs = pairs.count()
-    block_s = time.time() - t2
-
-    t3 = time.time()
-    scored = score_pairs(records, pairs).localCheckpoint()
-    n_scored = scored.count()
-    score_s = time.time() - t3
-
-    t4 = time.time()
-    edges = match_edges(scored)
-    cc = connected_components(edges)
-    n_clustered = cc.count()
-    cc_s = time.time() - t4
-
+    score_s = stages["s4_scored"]["wall_ms"] / 1000
+    n_scored = stages["s4_scored"]["output_rows"]
     return {
-        "turns": n_turns, "records": n_records, "pairs": n_pairs,
+        "turns": n_turns, "records": stages["s1_records"]["output_rows"],
+        "pairs": stages["s3_pairs"]["output_rows"],
         "scored": n_scored, "clustered_nodes": n_clustered,
-        "gen_s": round(gen_s, 2), "assemble_s": round(assemble_s, 2),
-        "block_s": round(block_s, 2), "score_s": round(score_s, 2),
-        "cc_s": round(cc_s, 2),
-        "er_wall_s": round(assemble_s + block_s + score_s + cc_s, 2),
+        "gen_s": round(gen_s, 2),
+        "assemble_s": round(stages["s1_records"]["wall_ms"] / 1000, 2),
+        "block_s": round(stages["s3_pairs"]["wall_ms"] / 1000, 2),
+        "score_s": round(score_s, 2),
+        "cc_s": round(stages["s6_components"]["wall_ms"] / 1000, 2),
+        "er_wall_s": round(er_wall_s, 2),
         "pairs_scored_per_sec": round(n_scored / max(score_s, 1e-9), 1),
     }
 
@@ -94,11 +94,22 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("em-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("EM_BENCH_DRIVER_MEM", "24g"))
+    )
+    # EM_BENCH_LOCAL_DIR (e.g. /dev/shm/spark-local): put shuffle files on
+    # tmpfs so a single box emulates a cluster's per-executor disks — without
+    # it, all parallelism levels share one disk's bandwidth and the N-vs-4N
+    # comparison measures the disk, not the engine
+    local_dir = os.environ.get("EM_BENCH_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
+    spark = (
+        builder
         .config("spark.driver.extraJavaOptions", "-Xss32m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

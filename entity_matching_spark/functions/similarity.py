@@ -26,7 +26,11 @@ import pandas as pd
 
 
 def _encode_padded(strings) -> tuple[np.ndarray, np.ndarray]:
-    """list[str] -> (codepoint matrix (n, Lmax) int32 zero-padded, lengths)."""
+    """list[str] -> (codepoint matrix (n, Lmax) zero-padded, lengths).
+
+    The matrix dtype is the narrowest that fits the batch's codepoints
+    (uint8 for the dominant ASCII case) — the inner DP loops are memory-
+    bandwidth-bound, and 4x narrower operands is a direct bandwidth cut."""
     n = len(strings)
     lengths = np.fromiter((len(s) for s in strings), count=n, dtype=np.int32)
     lmax = int(lengths.max()) if n else 0
@@ -34,20 +38,23 @@ def _encode_padded(strings) -> tuple[np.ndarray, np.ndarray]:
     for i, s in enumerate(strings):
         if s:
             mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.int32)
+    peak = int(mat.max()) if n else 0
+    if peak < 256:
+        mat = mat.astype(np.uint8)
+    elif peak < 65536:
+        mat = mat.astype(np.uint16)
     return mat, lengths
 
 
-def jaro_batch(a_strings, b_strings) -> np.ndarray:
-    """Plain Jaro similarity for each aligned pair, vectorized across the batch.
-
-    Outer loop runs over character positions (bounded by the longest string);
-    all per-pair work is numpy across the batch dimension.
-    """
-    n = len(a_strings)
+def jaro_batch_encoded(enc_a, enc_b) -> np.ndarray:
+    """Jaro on pre-encoded (codepoint-matrix, lengths) pairs — lets callers
+    that compute many JW values over the same columns encode each column
+    once (the encode loop is the only per-row Python in the kernel)."""
+    A, la = enc_a
+    B, lb = enc_b
+    n = A.shape[0]
     if n == 0:
         return np.zeros(0)
-    A, la = _encode_padded(a_strings)
-    B, lb = _encode_padded(b_strings)
     La, Lb = A.shape[1], B.shape[1]
 
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
@@ -104,17 +111,41 @@ def jaro_batch(a_strings, b_strings) -> np.ndarray:
     return jaro
 
 
-def common_prefix_len(a_strings, b_strings, cap: int = 4) -> np.ndarray:
-    A, la = _encode_padded(a_strings)
-    B, lb = _encode_padded(b_strings)
+def jaro_batch(a_strings, b_strings) -> np.ndarray:
+    """Plain Jaro similarity for each aligned pair, vectorized across the
+    batch. Outer loop runs over character positions (bounded by the longest
+    string); all per-pair work is numpy across the batch dimension."""
+    return jaro_batch_encoded(_encode_padded(a_strings), _encode_padded(b_strings))
+
+
+def common_prefix_len_encoded(enc_a, enc_b, cap: int = 4) -> np.ndarray:
+    A, la = enc_a
+    B, lb = enc_b
     L = min(A.shape[1], B.shape[1], cap)
     if L == 0:
-        return np.zeros(len(a_strings), dtype=np.int64)
+        return np.zeros(A.shape[0], dtype=np.int64)
     minlen = np.minimum(np.minimum(la, lb), L)[:, None]
     pos = np.arange(L)[None, :]
     eq = (A[:, :L] == B[:, :L]) & (pos < minlen)
     # prefix = number of leading equalities
     return np.where(eq, 1, 0).cumprod(axis=1).sum(axis=1)
+
+
+def common_prefix_len(a_strings, b_strings, cap: int = 4) -> np.ndarray:
+    return common_prefix_len_encoded(_encode_padded(a_strings), _encode_padded(b_strings), cap)
+
+
+def encode_strings(strings):
+    """Public pre-encode hook for batch callers (None/NaN -> '')."""
+    return _encode_padded([s if isinstance(s, str) else "" for s in strings])
+
+
+def jaro_winkler_encoded(enc_a, enc_b, commons_distance_mode: bool = False) -> np.ndarray:
+    """Jaro-Winkler on pre-encoded columns, commons-text rules."""
+    jaro = jaro_batch_encoded(enc_a, enc_b)
+    p = common_prefix_len_encoded(enc_a, enc_b)
+    jw = np.where(jaro > 0.7, jaro + 0.1 * p * (1.0 - jaro), jaro)
+    return 1.0 - jw if commons_distance_mode else jw
 
 
 def jaro_winkler_batch(a_strings, b_strings, commons_distance_mode: bool = False) -> np.ndarray:
@@ -125,10 +156,7 @@ def jaro_winkler_batch(a_strings, b_strings, commons_distance_mode: bool = False
     """
     a = ["" if s is None else s for s in a_strings]
     b = ["" if s is None else s for s in b_strings]
-    jaro = jaro_batch(a, b)
-    p = common_prefix_len(a, b)
-    jw = np.where(jaro > 0.7, jaro + 0.1 * p * (1.0 - jaro), jaro)
-    return 1.0 - jw if commons_distance_mode else jw
+    return jaro_winkler_encoded(_encode_padded(a), _encode_padded(b), commons_distance_mode)
 
 
 def levenshtein_batch(a_strings, b_strings) -> np.ndarray:

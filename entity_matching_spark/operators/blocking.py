@@ -107,16 +107,24 @@ def generate_blocking_keys(records: DataFrame, config: MatchConfig | None = None
 
 
 def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = None) -> DataFrame:
-    """Distributed sorted-neighborhood pass over the normalized legal name.
+    """Distributed, DETERMINISTIC sorted-neighborhood pass over the
+    normalized legal name.
 
-    Scalable formulation: ``repartitionByRange`` on the sort key gives a
-    global range partitioning; a *partition-local* ``row_number`` plus
-    driver-collected per-partition offsets (one tiny aggregate) yields a true
-    global rank without a single-partition window. Each record then emits two
-    bucket keys, ``floor(rank/w)`` and ``floor((rank + ceil(w/2))/w)``, so any
-    two records within ``ceil(w/2)`` positions of each other share at least
-    one bucket. This is the standard scalable SN approximation: windows become
-    overlapping tiles instead of a strict sliding window.
+    Scalable formulation with reproducible output (repartitionByRange is NOT
+    used — its boundary sampling is seeded per-plan, so two runs at different
+    parallelism emit different tiles):
+
+    1. deterministic boundary sample: rows whose ``xxhash64(snk, conv_id)``
+       falls in a fixed residue class (bounded size, collected to the driver,
+       independent of partitioning);
+    2. range-id assignment by binary-search-free comparison against the
+       broadcast boundary array (``size(filter(bounds, b -> b <= snk))``);
+    3. partition-local rank via a window over each range id;
+    4. global rank = driver-computed cumulative range offsets + local rank.
+
+    Each record then emits two overlapping tile keys, ``floor(rank/w)`` and
+    ``floor((rank + ceil(w/2))/w)``, so any two records within ``ceil(w/2)``
+    sort positions share a tile — the standard scalable SN approximation.
     """
     cfg = config or DEFAULT_CONFIG
     w = max(cfg.sorted_neighborhood_window, 2)
@@ -126,21 +134,39 @@ def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = No
         F.coalesce("norm_legal_name", F.lit("")).alias("snk"),
     ).where(F.col("snk") != "")
     n_parts = max(2, cfg.shuffle_partitions)
-    sk = sk.repartitionByRange(n_parts, "snk", "conv_id")
-    sk = sk.withColumn("pid", F.spark_partition_id())
-    win = Window.partitionBy("pid").orderBy("snk", "conv_id")
+
+    # 1. deterministic sample (~n_parts*20 rows regardless of layout)
+    total = sk.count()
+    if total == 0:
+        return sk.select(
+            "conv_id", F.lit("sorted_neighborhood").alias("pass"), F.lit("").alias("key")
+        ).limit(0)
+    target_sample = n_parts * 20
+    mod = max(1, total // max(target_sample, 1))
+    sample = (
+        sk.where(F.pmod(F.xxhash64("snk", "conv_id"), F.lit(mod)) == 0)
+        .select("snk").orderBy("snk").collect()
+    )
+    svals = [r["snk"] for r in sample]
+    step = max(1, len(svals) // n_parts)
+    bounds = sorted(set(svals[step::step]))  # interior boundaries only
+
+    bounds_arr = F.array(*[F.lit(b) for b in bounds]) if bounds else F.array().cast("array<string>")
+    rid = F.size(F.filter(bounds_arr, lambda b: b <= F.col("snk")))
+    sk = sk.withColumn("rid", rid)
+    win = Window.partitionBy("rid").orderBy("snk", "conv_id")
     sk = sk.withColumn("lidx", F.row_number().over(win))
 
-    # per-partition counts -> cumulative offsets (tiny driver-side table)
-    counts = {r["pid"]: r["cnt"] for r in sk.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    # per-range counts -> cumulative offsets (tiny driver-side table)
+    counts = {r["rid"]: r["cnt"] for r in sk.groupBy("rid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for r in sorted(counts):
+        offsets[r] = acc
+        acc += counts[r]
     offset_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]) \
         if offsets else F.create_map()
 
-    gidx = (offset_map[F.col("pid")] + F.col("lidx") - 1).alias("gidx")
+    gidx = (offset_map[F.col("rid")] + F.col("lidx") - 1).alias("gidx")
     sk = sk.select("conv_id", gidx)
     half = max(1, (w + 1) // 2)
     k1 = sk.select(
@@ -179,9 +205,14 @@ def generate_pairs(
     salt_at = getattr(cfg, "salt_threshold", 32)
     B = max(2, cfg.salt_buckets)
 
+    # Group sizes via groupBy + shuffle join. Deliberately NO broadcast hint:
+    # the distinct-key table scales with the data (every name token is a key),
+    # so a forced broadcast becomes a driver bottleneck that grows with input
+    # size; AQE still auto-broadcasts when the counts side is genuinely small.
+    # A count-window alternative would buffer whole hot-key partitions.
     counts = keys.groupBy("key").agg(F.count("*").alias("n"))
     dropped = counts.where(F.col("n") > cap)
-    keyed = keys.join(F.broadcast(counts.where(F.col("n") <= cap)), "key")
+    keyed = keys.join(counts.where(F.col("n") <= cap), "key")
 
     small = keyed.where(F.col("n") <= salt_at).drop("n")
     large = keyed.where(F.col("n") > salt_at).drop("n")

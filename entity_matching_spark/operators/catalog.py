@@ -1,0 +1,156 @@
+"""Catalog-matching mode: probe records vs a LoanIQ-style entity table.
+
+The reference's primary use is matching an extracted document entity against
+the LoanIQ SQL catalog (`entities` + `entity_locations`, DDL at
+build.gradle:256-304, mirrored in the H2 integration test
+T/repository/DatabaseIntegrationTest.java:41-64). The transcript graft's
+self-linkage covers dedup; this module covers the probe-vs-catalog use so a
+reference user can run the same lookups set-oriented:
+
+- ``catalog_to_records``: project the catalog schema onto the S1 record
+  schema (full_name -> legal_name, ultimate_parent -> fund manager per the
+  repurposing note at entity/LoanIQEntity.java:12) and pre-union location
+  sub-entities — the set-oriented equivalent of the ``UNION ALL`` in
+  sql/findByMEI.sql:1-7 / findByLEI.sql / findByEIN.sql: a location row
+  carries its own identifiers and surfaces as a separate match candidate.
+- ``match_records_to_catalog``: same blocking passes + the same S4 scoring
+  kernel, but pairs are (probe conv_id, catalog entity) instead of unordered
+  conversation pairs. Catalog ids are namespaced "cat:<id>" so the probe
+  always sorts lexicographically into the 'extracted' role that scoring
+  assigns to conv_id_a ("cat:" > "conv" is false — see CAT_PREFIX note).
+
+Discrepancy I14 (ORPHANED_LOCATION_RECORD, DiscrepancyDetector.java:324-333)
+lives here because it only exists for catalogs with location rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_CONFIG, MatchConfig
+
+# "conv..." < "zcat:..." lexicographically, so in score_pairs' orientation
+# (smaller id = the reference's 'extracted' probe role) the probe is always
+# side A and the catalog entity side B — matching the reference exactly.
+CAT_PREFIX = "zcat:"
+
+CATALOG_DDL = (
+    "entity_id bigint, full_name string, short_name string, ultimate_parent string, "
+    "mei string, lei string, ein string, debt_domain_id string, email_domain string, "
+    "country_code string, legal_address string, tax_address string, "
+    "record_type string, parent_customer_id bigint, last_modified timestamp"
+)
+
+
+def catalog_to_records(catalog: DataFrame, config: MatchConfig | None = None) -> DataFrame:
+    """Project catalog rows (main + location) onto the S1 record schema.
+
+    Normalized name columns are computed with the same kernels as probe
+    records; tax-form columns are null (the catalog has no tax documents).
+    """
+    cfg = config or DEFAULT_CONFIG
+    from ..functions.normalize import build_udfs
+
+    udfs = build_udfs(cfg)
+
+    rec = catalog.select(
+        F.concat(F.lit(CAT_PREFIX), F.col("entity_id").cast("string")).alias("conv_id"),
+        F.col("entity_id"),
+        F.col("full_name").alias("legal_name"),
+        F.col("short_name"),
+        # ultimate_parent is repurposed as fund manager (LoanIQEntity.java:12)
+        F.col("ultimate_parent").alias("fund_manager"),
+        "mei", "lei", "ein", "debt_domain_id", "email_domain", "country_code",
+        F.coalesce("record_type", F.lit("MAIN")).alias("record_type"),
+        "parent_customer_id",
+        F.lit(None).cast("string").alias("tax_country_code"),
+        F.lit(None).cast("string").alias("dba"),
+        F.lit(None).cast("string").alias("norm_tax_text"),
+        F.lit(None).cast("string").alias("taxform_legal_name"),
+        F.lit(None).cast("string").alias("taxform_ein"),
+        F.lit(None).cast("string").alias("taxform_lei"),
+        F.lit(None).cast("string").alias("taxform_mei"),
+        F.lit(None).cast("string").alias("taxform_debt_domain_id"),
+        F.lit(None).cast("string").alias("taxform_country_code"),
+        F.lit("UNKNOWN").alias("entity_type"),
+    )
+    rec = rec.withColumn("norm_legal_name", udfs["norm_name"]("legal_name"))
+    rec = rec.withColumn(
+        "norm_fund_manager",
+        F.when(F.col("fund_manager").isNotNull(), udfs["norm_fund_manager"]("fund_manager")),
+    )
+    # B7 key is the CATALOG's cleaned short_name (sql/findByCleanedShortName.sql)
+    rec = rec.withColumn(
+        "clean_name_key",
+        F.nullif(
+            F.regexp_replace(F.lower(F.coalesce("short_name", "legal_name", F.lit(""))),
+                             "[^a-z0-9]", ""),
+            F.lit(""),
+        ),
+    )
+    rec = rec.withColumn(
+        "ein_nohyphen",
+        F.when(F.col("ein").isNotNull(), F.regexp_replace("ein", "-", "")),
+    )
+    return rec
+
+
+def match_records_to_catalog(
+    records: DataFrame, catalog: DataFrame, config: MatchConfig | None = None
+) -> DataFrame:
+    """Probe records vs catalog entities -> scored candidates.
+
+    Reuses generate_blocking_keys + generate_pairs + score_pairs on the union
+    of both sides, then keeps only probe-vs-catalog pairs (probe-probe and
+    catalog-catalog pairs are dropped — the reference never compares two
+    probes; catalog-catalog similarity is the duplicate detector's job, J1-J3,
+    which `duplicate_flags` inside score_pairs already computes over the
+    unioned pair set, reproducing the -5 duplicate penalty against catalog
+    rows that share identifiers with other catalog rows).
+    """
+    cfg = config or DEFAULT_CONFIG
+    from .blocking import generate_blocking_keys, generate_pairs
+    from .score import SIDE_COLS, score_pairs
+
+    cat = catalog_to_records(catalog, cfg)
+    # score_pairs derives has_tax from norm_tax_text, so that column rides
+    # along; everything else comes from SIDE_COLS
+    keep = ["conv_id", "norm_tax_text"] + [
+        c for c in SIDE_COLS if c not in ("conv_id", "has_tax")
+    ]
+    both = records.select(*keep).unionByName(cat.select(*keep))
+
+    keys = generate_blocking_keys(both, cfg)
+    pairs, dropped = generate_pairs(keys, cfg)
+    cross = pairs.where(
+        F.col("conv_id_a").startswith(CAT_PREFIX) != F.col("conv_id_b").startswith(CAT_PREFIX)
+    )
+    scored = score_pairs(both, cross, cfg)
+    out = scored.withColumn(
+        "entity_id",
+        # try_cast: under ANSI mode a plain cast can be project-pushed below
+        # the probe/catalog filter and evaluated on rows the filter drops
+        F.regexp_replace("conv_id_b", f"^{CAT_PREFIX}", "").try_cast("bigint"),
+    ).withColumnRenamed("conv_id_a", "probe_conv_id")
+    # I14 — ORPHANED_LOCATION_RECORD (DiscrepancyDetector.java:324-333)
+    loc = catalog.select(
+        "entity_id",
+        ((F.coalesce("record_type", F.lit("MAIN")) == "LOCATION")
+         & F.col("parent_customer_id").isNull()).alias("is_orphan_location"),
+    )
+    out = out.join(F.broadcast(loc), "entity_id", "left")
+    orphan = F.struct(F.lit("ORPHANED_LOCATION_RECORD").alias("type"),
+                      F.lit("MEDIUM").alias("severity"))
+    out = out.withColumn(
+        "discrepancies",
+        F.when(
+            F.coalesce("is_orphan_location", F.lit(False)),
+            F.array_append("discrepancies", orphan),
+        ).otherwise(F.col("discrepancies")),
+    ).drop("is_orphan_location")
+    return out
+
+
+def find_by_id(catalog: DataFrame, entity_id: int) -> DataFrame:
+    """B8 — sql/findById.sql as a plain filter."""
+    return catalog.where(F.col("entity_id") == entity_id)

@@ -40,10 +40,14 @@ SIDE_COLS = [
     "conv_id", "mei", "lei", "ein", "ein_nohyphen", "debt_domain_id",
     "email_domain", "legal_name", "norm_legal_name", "clean_name_key",
     "fund_manager", "norm_fund_manager", "dba", "country_code",
-    "tax_country_code", "entity_type",
+    "tax_country_code",
     "taxform_legal_name", "taxform_ein", "taxform_lei", "taxform_mei",
     "taxform_debt_domain_id", "taxform_country_code", "has_tax",
 ]
+# NOTE: entity_type is intentionally NOT carried into the pair join — the
+# reference's composite-match logic keys off fund-manager presence
+# (FuzzyNameMatcher.java:46-63), not the detected EntityType, and unused
+# columns in a 10^6-pair shuffle are pure bandwidth waste.
 
 _JW_FIELDS = [
     "jw_legal",        # JW on D6-normalized legal names (FuzzyNameMatcher.java:92)
@@ -60,12 +64,18 @@ def _pair_scores_udf(config: MatchConfig):
     from pyspark.sql.functions import pandas_udf
 
     from ..functions.normalize import normalize_name
-    from ..functions.similarity import jaro_winkler_batch
+    from ..functions.similarity import encode_strings, jaro_winkler_encoded
 
     dist_mode = config.jw_commons_distance_mode
 
+    def enc(s: pd.Series):
+        return encode_strings(s.tolist())
+
+    def jw_enc(ea, eb):
+        return jaro_winkler_encoded(ea, eb, commons_distance_mode=dist_mode)
+
     def jw(a: pd.Series, b: pd.Series):
-        return jaro_winkler_batch(a.tolist(), b.tolist(), commons_distance_mode=dist_mode)
+        return jw_enc(enc(a), enc(b))
 
     schema = StructType([StructField(f, DoubleType()) for f in _JW_FIELDS])
 
@@ -83,30 +93,32 @@ def _pair_scores_udf(config: MatchConfig):
         n = len(norm_legal_a)
         la = norm_legal_a.fillna("")
         lb = norm_legal_b.fillna("")
+        # encode each column ONCE; all JW calls reuse the encodings
+        e_la, e_lb = enc(la), enc(lb)
 
         # --- H6 DBA split of the candidate name (FuzzyNameMatcher.java:149-180)
         # Java: candidateName.split("\\s+(?:DBA|d/b/a)\\s+", 2) — case-sensitive
         braw = legal_raw_b.fillna("")
         parts = braw.str.split(r"\s+(?:DBA|d/b/a)\s+", n=1, regex=True)
         has_dba_b = parts.map(len) == 2
-        b_leg_part = normalize_name(parts.map(lambda p: p[0] if len(p) == 2 else ""))
-        b_dba_part = normalize_name(parts.map(lambda p: p[1] if len(p) == 2 else ""))
-        norm_dba_a = normalize_name(dba_a.fillna(""))
-
         dba_score = np.zeros(n)
         m = has_dba_b.to_numpy()
         if m.any():
+            b_leg_part = normalize_name(parts.map(lambda p: p[0] if len(p) == 2 else ""))
+            b_dba_part = normalize_name(parts.map(lambda p: p[1] if len(p) == 2 else ""))
+            norm_dba_a = normalize_name(dba_a.fillna(""))
+            e_bdba = enc(b_dba_part)
             # extracted DBA vs candidate DBA part
-            d1 = jw(norm_dba_a, b_dba_part)
+            d1 = jw_enc(enc(norm_dba_a), e_bdba)
             hit1 = m & dba_a.notna().to_numpy() & (d1 > 0.85)
             dba_score = np.where(hit1, 0.95, dba_score)
             # extracted legal vs either candidate part (FuzzyNameMatcher.java:167-173)
-            d2 = np.maximum(jw(la, b_leg_part), jw(la, b_dba_part))
+            d2 = np.maximum(jw_enc(e_la, enc(b_leg_part)), jw_enc(e_la, e_bdba))
             hit2 = m & ~hit1 & legal_raw_a.notna().to_numpy()
             dba_score = np.where(hit2, d2, dba_score)
 
         # --- H4 legal-name tiers (FuzzyNameMatcher.java:92-119)
-        jw_legal = jw(la, lb)
+        jw_legal = jw_enc(e_la, e_lb)
         exact = (la == lb).to_numpy()
         contains = np.fromiter(
             ((x in y or y in x) if x and y else False for x, y in zip(la, lb)),
@@ -127,7 +139,7 @@ def _pair_scores_udf(config: MatchConfig):
         # --- H5 fund-manager tiers (FuzzyNameMatcher.java:122-147,213-239)
         fa = norm_fm_a.fillna("")
         fb = norm_fm_b.fillna("")
-        fm = jw(fa, fb)
+        fm = jw_enc(enc(fa), enc(fb))
 
         def acro(x: str, y: str) -> bool:
             xs, ys = x.split(), y.split()
@@ -148,13 +160,14 @@ def _pair_scores_udf(config: MatchConfig):
         )
         fm = np.where(fm_contains, np.maximum(fm, 0.85), fm)
 
+        e_tax = enc(tax_legal_a)
         return pd.DataFrame({
             "jw_legal": jw_legal,
             "legal_score": legal,
             "fm_score": fm,
-            "jw_fm_raw": jw(fm_raw_a.fillna(""), fm_raw_b.fillna("")),
-            "jw_a_atax": jw(legal_raw_a.fillna(""), tax_legal_a.fillna("")),
-            "jw_atax_bleg": jw(tax_legal_a.fillna(""), braw),
+            "jw_fm_raw": jw(fm_raw_a, fm_raw_b),
+            "jw_a_atax": jw_enc(enc(legal_raw_a), e_tax),
+            "jw_atax_bleg": jw_enc(e_tax, enc(braw)),
         })
 
     return pair_scores
@@ -162,8 +175,18 @@ def _pair_scores_udf(config: MatchConfig):
 
 def _prepare_sides(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     rec = records.withColumn("has_tax", F.col("norm_tax_text").isNotNull())
-    a = rec.select([F.col(c).alias(f"{c}_a" if c != "conv_id" else "conv_id_a") for c in SIDE_COLS])
-    b = rec.select([F.col(c).alias(f"{c}_b" if c != "conv_id" else "conv_id_b") for c in SIDE_COLS])
+    # I13 input: does any OTHER record share this cleaned-short-name key?
+    # Window count on the records table (null keys get singleton partitions)
+    # — one records-sized shuffle instead of broadcasting a key-counts table
+    # that grows with the data (driver bottleneck at scale).
+    wk = Window.partitionBy(F.coalesce("clean_name_key", "conv_id"))
+    rec = rec.withColumn(
+        "shortname_dup",
+        F.col("clean_name_key").isNotNull() & (F.count("*").over(wk) > 1),
+    )
+    cols = SIDE_COLS + ["shortname_dup"]
+    a = rec.select([F.col(c).alias(f"{c}_a" if c != "conv_id" else "conv_id_a") for c in cols])
+    b = rec.select([F.col(c).alias(f"{c}_b" if c != "conv_id" else "conv_id_b") for c in cols])
     return a, b
 
 
@@ -224,13 +247,7 @@ def score_pairs(
         .drop("has_dup")
     )
 
-    # cleaned-short-name duplicate count on the candidate side (discrepancy I13)
-    ck = records.where(F.col("clean_name_key").isNotNull()) \
-        .groupBy("clean_name_key").agg(F.count("*").alias("ck_n"))
-    df = df.join(
-        F.broadcast(ck.where(F.col("ck_n") > 1)).withColumnRenamed("clean_name_key", "clean_name_key_b"),
-        "clean_name_key_b", "left",
-    ).withColumn("shortname_dup_b", F.coalesce(F.col("ck_n") > 1, F.lit(False))).drop("ck_n")
+    # I13 input (shortname_dup_b) now arrives pre-computed from _prepare_sides
 
     # --- similarity UDF (one Arrow pass per batch) ---------------------------
     scores = _pair_scores_udf(cfg)(

@@ -49,6 +49,7 @@ class PipelineResult:
     components: DataFrame
     clusters: DataFrame
     dropped_keys: DataFrame
+    quarantine: DataFrame
     metrics: list
 
 
@@ -71,6 +72,19 @@ def run_pipeline(
         return ck.read(spark, name)
 
     records = stage("s1_records", "", lambda: build_records(transcripts, cfg))
+
+    # L3 analog (orchestrator per-doc error isolation, EntityMatchingOrchestrator
+    # .java:140-145): extraction is null-safe so nothing throws; records with NO
+    # matchable signal (no identifier, name, or email domain) are quarantined to
+    # their own table instead of silently generating useless blocking keys.
+    signal_cols = ["mei", "lei", "ein", "debt_domain_id", "email_domain",
+                   "legal_name", "clean_name_key"]
+    no_signal = None
+    for c in signal_cols:
+        cond = F.col(c).isNull()
+        no_signal = cond if no_signal is None else (no_signal & cond)
+    quarantine = stage("s1_quarantine", "s1", lambda: records.where(no_signal))
+    records = records.where(~no_signal)
 
     def build_pairs():
         keys = generate_blocking_keys(records, cfg)
@@ -95,5 +109,6 @@ def run_pipeline(
     dropped = ck.read(spark, "s2_dropped_keys")
     return PipelineResult(
         records=records, pairs=pairs, scored=scored, components=components,
-        clusters=clusters, dropped_keys=dropped, metrics=ck.metrics(),
+        clusters=clusters, dropped_keys=dropped, quarantine=quarantine,
+        metrics=ck.metrics(),
     )

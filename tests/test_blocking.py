@@ -104,6 +104,17 @@ class TestScaleControls:
 
 
 class TestSortedNeighborhood:
+    def test_deterministic_under_relayout(self, spark, records_df):
+        """Same config, different physical partitioning -> identical SN keys
+        (repartitionByRange sampling would break this; the deterministic
+        hash-sampled boundaries must not)."""
+        cfg = MatchConfig(sorted_neighborhood_window=4)
+        k1 = sorted(map(tuple, sorted_neighborhood_keys(
+            records_df.repartition(3), cfg).collect()))
+        k2 = sorted(map(tuple, sorted_neighborhood_keys(
+            records_df.repartition(11, "conv_id"), cfg).collect()))
+        assert k1 == k2
+
     def test_near_names_share_bucket(self, spark, records_df):
         """Adjacent records in norm-name order share an SN key."""
         keys = sorted_neighborhood_keys(records_df, MatchConfig(sorted_neighborhood_window=4))

@@ -93,7 +93,7 @@ class TestPipelineResume:
         wd = str(tmp_path / "run4")
         r = run_pipeline(spark, small_transcripts, wd, MatchConfig())
         stages = {m["stage"] for m in r.metrics}
-        assert {"s1_records", "s2_dropped_keys", "s3_pairs", "s4_scored",
-                "s6_components", "s7_clusters"} <= stages
+        assert {"s1_records", "s1_quarantine", "s2_dropped_keys", "s3_pairs",
+                "s4_scored", "s6_components", "s7_clusters"} <= stages
         for m in r.metrics:
             assert m["wall_ms"] >= 0 and "partitions" in m
