@@ -61,6 +61,13 @@ class MatchConfig:
     jw_commons_distance_mode: bool = False
     drop_debt_domain_boost: bool = True
     collapse_newlines_in_text: bool = False
+    # document normalization path. False (default) = Arrow pandas UDF; True =
+    # native JVM regexp chain. Measured on the bench corpus the pandas path is
+    # 2-2.6x FASTER: a pandas UDF under when() is evaluated for every row
+    # (ArrowEvalPython is unconditional), so the native chain pays the
+    # transliteration UDF AND ~12 java.util.regex passes over full documents.
+    # Outputs are test-pinned equal either way (test_assemble.py).
+    native_doc_normalization: bool = False
 
     # --- blocking / skew control (SURVEY.md §4.3.1)
     max_block_size: int = 100          # analog of LIMIT 100 (sql/findByName.sql:10)

@@ -297,6 +297,37 @@ def extract_dba_scalar(value):
 
 
 # ---------------------------------------------------------------------------
+# Native (JVM) document-text normalization
+# ---------------------------------------------------------------------------
+# The D1+D2 chains are plain regex replaces — expressible as a native
+# regexp_replace chain that runs inside whole-stage codegen (Spark compiles
+# java.util.regex, the reference's own engine — BETTER pattern fidelity than
+# the pandas twin). Only transliteration needs Python; it is gated behind a
+# non-ASCII rlike so the Arrow round-trip happens for the few rows that need
+# it. Equality with the pandas path over the synthetic corpus is test-pinned
+# (tests/test_assemble.py::test_native_normalization_matches_pandas).
+
+
+def normalize_doc_text_native(col, translit_udf):
+    """Native D3 twin of ``normalize_text(preserve_newlines=True,
+    ocr_punctuation=False)`` — the document pipeline's configuration."""
+    from pyspark.sql import functions as F
+
+    out = F.when(col.rlike("[^\\x00-\\x7F]"), translit_udf(col)).otherwise(col)
+    for pat, repl in _D1_REPLACEMENTS:
+        out = F.regexp_replace(out, pat, repl)
+    out = F.regexp_replace(out, _CONTROL_KEEP_NL_RE, "")
+    out = F.regexp_replace(out, _ZERO_WIDTH_RE, "")
+    out = F.regexp_replace(out, "[^\\S\\n]+", " ")
+    out = F.regexp_replace(out, "\\s*\\n\\s*", "\n")
+    out = F.trim(out)
+    for pat, repl in _D2_CHAR_FIXES:
+        # Java regex replacement uses $1 group references
+        out = F.regexp_replace(out, pat, repl.replace("\\g<1>", "$1").replace("\\1", "$1"))
+    return F.trim(out)
+
+
+# ---------------------------------------------------------------------------
 # Spark pandas-UDF wrappers (built lazily so this module imports without Spark)
 # ---------------------------------------------------------------------------
 
@@ -315,6 +346,10 @@ def build_udfs(config=None):
         return normalize_text(s, preserve_newlines=preserve, ocr_punctuation=False)
 
     @pandas_udf(StringType())
+    def translit(s: pd.Series) -> pd.Series:
+        return transliterate(s)
+
+    @pandas_udf(StringType())
     def norm_name(s: pd.Series) -> pd.Series:
         return normalize_name(s)
 
@@ -331,4 +366,5 @@ def build_udfs(config=None):
         "norm_name": norm_name,
         "norm_fund_manager": norm_fund_manager,
         "clean_name": clean_name,
+        "translit": translit,
     }

@@ -297,10 +297,18 @@ def build_records(transcripts: DataFrame, config: MatchConfig | None = None) -> 
     udfs = build_udfs(cfg)
 
     conv = assemble_conversations(transcripts, cfg)
-    conv = conv.withColumn("norm_text", udfs["norm_doc_text"]("text"))
+    if cfg.native_doc_normalization and not cfg.collapse_newlines_in_text:
+        # native JVM regexp chain; Python only for non-ASCII transliteration
+        from ..functions.normalize import normalize_doc_text_native
+
+        def norm_doc(col):
+            return normalize_doc_text_native(col, udfs["translit"])
+    else:
+        norm_doc = udfs["norm_doc_text"]
+    conv = conv.withColumn("norm_text", norm_doc(F.col("text")))
     conv = conv.withColumn(
         "norm_tax_text",
-        F.when(F.col("tax_text").isNotNull(), udfs["norm_doc_text"]("tax_text")),
+        F.when(F.col("tax_text").isNotNull(), norm_doc(F.col("tax_text"))),
     )
 
     # NOTE prefix "taxform_" (not "tax_"): the main record already emits

@@ -260,6 +260,22 @@ def score_pairs(
     )
     df = df.withColumn("s", scores).select("*", "s.*").drop("s")
 
+    # North-star similarity triple: alongside the JW kernel, Levenshtein and
+    # token-Jaccard ride along as native JVM columns (the reference constructs
+    # Levenshtein but never calls it — dead-code note N1, SURVEY.md §4.4; both
+    # are informational here and add no Python cost).
+    nla = F.coalesce("norm_legal_name_a", F.lit(""))
+    nlb = F.coalesce("norm_legal_name_b", F.lit(""))
+    ta = F.array_distinct(F.filter(F.split(nla, r"\s+"), lambda t: t != ""))
+    tb = F.array_distinct(F.filter(F.split(nlb, r"\s+"), lambda t: t != ""))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    df = df.withColumn("lev_name", F.levenshtein(nla, nlb)).withColumn(
+        "token_jaccard",
+        F.when((F.size(ta) == 0) & (F.size(tb) == 0), 1.0)
+        .when(union > 0, inter / union).otherwise(0.0),
+    )
+
     # --- identifier components (IdentifierMatcher.java:26-141) --------------
     mei_eq = F.col("mei_a").isNotNull() & (F.col("mei_a") == F.col("mei_b"))
     lei_eq = F.col("lei_a").isNotNull() & (F.col("lei_a") == F.col("lei_b"))

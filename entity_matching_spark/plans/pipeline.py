@@ -38,6 +38,7 @@ SCORED_COLS = [
     "identifier_score", "name_score", "email_boost", "geo_score", "tax_score",
     "multi_id_bonus", "dup_penalty", "discrepancy_penalty", "discrepancies",
     "has_critical", "score", "confidence", "decision",
+    "lev_name", "token_jaccard",
 ]
 
 
