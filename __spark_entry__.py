@@ -1047,10 +1047,16 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.col("ts"),
     ).dropDuplicates(["conv_id", "turn_idx"])
-    records = build_records(transcripts)
-    keys = generate_blocking_keys(records)
-    pairs, _ = generate_pairs(keys)
-    scored = score_pairs(records, pairs)
+    from entity_matching_spark.config import MatchConfig
+
+    # lean smoke config: identifier + name-key passes only (the SN pass adds
+    # two driver collects + a window — full coverage lives in the pipeline
+    # CLI, bench and pytest paths)
+    cfg = MatchConfig(blocking_passes=("mei", "cleanname", "nametok"))
+    records = build_records(transcripts, cfg)
+    keys = generate_blocking_keys(records, cfg)
+    pairs, _ = generate_pairs(keys, cfg)
+    scored = score_pairs(records, pairs, cfg)
     return scored.groupBy("strategy", "decision").agg(
         F.count("*").alias("n_pairs"), F.round(F.avg("score"), 2).alias("avg_score")
     ).orderBy("strategy", "decision")

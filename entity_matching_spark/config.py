@@ -70,6 +70,12 @@ class MatchConfig:
     native_doc_normalization: bool = False
 
     # --- blocking / skew control (SURVEY.md §4.3.1)
+    # which blocking passes run (subset of operators/blocking.BLOCKING_PASSES);
+    # production default = all; cheap smoke configs can drop the heavy ones
+    blocking_passes: tuple = (
+        "mei", "lei", "ein", "debt_domain", "cleanname", "email_domain",
+        "nametok", "sorted_neighborhood",
+    )
     max_block_size: int = 100          # analog of LIMIT 100 (sql/findByName.sql:10)
     salt_threshold: int = 32           # groups above this use the bucket-pair salted join
     sorted_neighborhood_window: int = 3

@@ -72,19 +72,21 @@ def generate_blocking_keys(records: DataFrame, config: MatchConfig | None = None
             F.struct(F.lit(pass_name).alias("pass"), _key(pass_name, key_col).alias("key")),
         )
 
+    enabled = set(getattr(cfg, "blocking_passes", BLOCKING_PASSES))
+    equi_cols = {
+        # B1/B2/B4 equi-keys; B3 hyphen-stripped EIN (sql/findByEIN.sql:2)
+        "mei": F.col("mei"),
+        "lei": F.col("lei"),
+        "ein": F.col("ein_nohyphen"),
+        "debt_domain": F.col("debt_domain_id"),
+        # B7 cleaned-name key (sql/findByCleanedShortName.sql + caller
+        # pre-clean at repository/LoanIQRepository.java:168-173)
+        "cleanname": F.col("clean_name_key"),
+        # B6 email-domain key
+        "email_domain": F.col("email_domain"),
+    }
     equi_keys = F.array_compact(
-        F.array(
-            # B1/B2/B4 equi-keys; B3 hyphen-stripped EIN (sql/findByEIN.sql:2)
-            entry("mei", F.col("mei")),
-            entry("lei", F.col("lei")),
-            entry("ein", F.col("ein_nohyphen")),
-            entry("debt_domain", F.col("debt_domain_id")),
-            # B7 cleaned-name key (sql/findByCleanedShortName.sql + caller
-            # pre-clean at repository/LoanIQRepository.java:168-173)
-            entry("cleanname", F.col("clean_name_key")),
-            # B6 email-domain key
-            entry("email_domain", F.col("email_domain")),
-        )
+        F.array(*[entry(n, c) for n, c in equi_cols.items() if n in enabled])
     )
     # B5 analog: token keys over the D6-normalized legal name. The LIKE
     # %name% contains-scan cannot scale as a self-join; token co-occurrence
@@ -95,15 +97,21 @@ def generate_blocking_keys(records: DataFrame, config: MatchConfig | None = None
             lambda t: F.length(t) >= cfg.name_token_min_len,
         )
     )
-    tok_keys = F.transform(
-        tokens,
-        lambda t: F.struct(F.lit("nametok").alias("pass"), _key("nametok", t).alias("key")),
+    tok_keys = (
+        F.transform(
+            tokens,
+            lambda t: F.struct(F.lit("nametok").alias("pass"), _key("nametok", t).alias("key")),
+        )
+        if "nametok" in enabled
+        else F.array().cast("array<struct<pass:string,key:string>>")
     )
     flat = records.select(
         "conv_id", F.explode(F.concat(equi_keys, tok_keys)).alias("pk")
     ).select("conv_id", F.col("pk.pass").alias("pass"), F.col("pk.key").alias("key"))
 
-    return flat.unionByName(sorted_neighborhood_keys(records, cfg))
+    if "sorted_neighborhood" in enabled:
+        flat = flat.unionByName(sorted_neighborhood_keys(records, cfg))
+    return flat
 
 
 def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = None) -> DataFrame:
