@@ -975,12 +975,11 @@ def q_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("last_modified"),
     )
     c = _read(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
-    cols = ["conv_id", "norm_tax_text"] + [
-        x for x in SIDE_COLS if x not in ("conv_id", "has_tax")
-    ]
+    cols = list(SIDE_COLS)
     name = F.concat(F.lit("Supplier "), (F.col("c_custkey") % 50).cast("string"), F.lit(" Capital"))
     base = {
         "conv_id": F.concat(F.lit("conv"), F.lpad(F.col("c_custkey").cast("string"), 8, "0")),
+        "has_tax": F.lit(False),
         "mei": F.concat(F.lit("US"), F.lpad((F.col("c_custkey") % 50 * 7).cast("string"), 8, "0")),
         "legal_name": name,
         "norm_legal_name": F.lower(name),

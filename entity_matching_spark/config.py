@@ -68,6 +68,10 @@ class MatchConfig:
     # transliteration UDF AND ~12 java.util.regex passes over full documents.
     # Outputs are test-pinned equal either way (test_assemble.py).
     native_doc_normalization: bool = False
+    # keep the normalized document text columns in the S1 records output
+    # (debugging aid). Off by default: the text dominates row size and is
+    # dead weight in every downstream shuffle once extraction has run.
+    keep_normalized_text: bool = False
 
     # --- blocking / skew control (SURVEY.md §4.3.1)
     # which blocking passes run (subset of operators/blocking.BLOCKING_PASSES);

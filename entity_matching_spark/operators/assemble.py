@@ -331,4 +331,12 @@ def build_records(transcripts: DataFrame, config: MatchConfig | None = None) -> 
         "ein_nohyphen",
         F.when(F.col("ein").isNotNull(), F.regexp_replace("ein", "-", "")),
     )
-    return rec.drop("turns", "text", "tax_text")
+    # the normalized document text is dead weight once extraction has run —
+    # dropping it keeps the S1 checkpoint and every downstream shuffle lean
+    # (the raw text dominates row size); keep_normalized_text re-enables it
+    # for debugging
+    rec = rec.withColumn("has_tax", F.col("norm_tax_text").isNotNull())
+    drop = ["turns", "text", "tax_text"]
+    if not cfg.keep_normalized_text:
+        drop += ["norm_text", "norm_tax_text"]
+    return rec.drop(*drop)

@@ -65,7 +65,7 @@ def catalog_to_records(catalog: DataFrame, config: MatchConfig | None = None) ->
         "parent_customer_id",
         F.lit(None).cast("string").alias("tax_country_code"),
         F.lit(None).cast("string").alias("dba"),
-        F.lit(None).cast("string").alias("norm_tax_text"),
+        F.lit(False).alias("has_tax"),
         F.lit(None).cast("string").alias("taxform_legal_name"),
         F.lit(None).cast("string").alias("taxform_ein"),
         F.lit(None).cast("string").alias("taxform_lei"),
@@ -113,11 +113,7 @@ def match_records_to_catalog(
     from .score import SIDE_COLS, score_pairs
 
     cat = catalog_to_records(catalog, cfg)
-    # score_pairs derives has_tax from norm_tax_text, so that column rides
-    # along; everything else comes from SIDE_COLS
-    keep = ["conv_id", "norm_tax_text"] + [
-        c for c in SIDE_COLS if c not in ("conv_id", "has_tax")
-    ]
+    keep = list(SIDE_COLS)
     both = records.select(*keep).unionByName(cat.select(*keep))
 
     keys = generate_blocking_keys(both, cfg)

@@ -174,7 +174,9 @@ def _pair_scores_udf(config: MatchConfig):
 
 
 def _prepare_sides(records: DataFrame) -> tuple[DataFrame, DataFrame]:
-    rec = records.withColumn("has_tax", F.col("norm_tax_text").isNotNull())
+    rec = records
+    if "has_tax" not in rec.columns:
+        rec = rec.withColumn("has_tax", F.col("norm_tax_text").isNotNull())
     # I13 input: does any OTHER record share this cleaned-short-name key?
     # Window count on the records table (null keys get singleton partitions)
     # — one records-sized shuffle instead of broadcasting a key-counts table

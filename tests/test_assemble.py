@@ -110,7 +110,7 @@ class TestExtraction:
         assert records_df.filter(F.col("norm_legal_name") == "").count() == 0
 
     def test_tax_form_extraction(self, spark, records_df):
-        with_tax = records_df.filter(F.col("norm_tax_text").isNotNull())
+        with_tax = records_df.filter(F.col("has_tax"))
         assert with_tax.count() > 0
         # tax turns carry Entity Name + TIN lines
         assert with_tax.filter(F.col("taxform_legal_name").isNull()).count() == 0

@@ -42,9 +42,7 @@ def _catalog_df(spark):
 def _probe_df(spark, mei="MEI123", name="Test Corp"):
     from entity_matching_spark.operators.score import SIDE_COLS
 
-    cols = ["conv_id", "norm_tax_text"] + [
-        c for c in SIDE_COLS if c not in ("conv_id", "has_tax")
-    ]
+    cols = list(SIDE_COLS)
     row = {c: None for c in cols}
     row.update({
         "conv_id": "conv00000001",
@@ -56,7 +54,8 @@ def _probe_df(spark, mei="MEI123", name="Test Corp"):
         "country_code": "US",
         "entity_type": "UNKNOWN",
     })
-    ddl = ", ".join(f"{c} string" for c in cols)
+    row.setdefault("has_tax", False)
+    ddl = ", ".join(f"{c} boolean" if c == "has_tax" else f"{c} string" for c in cols)
     return spark.createDataFrame([tuple(row[c] for c in cols)], ddl)
 
 
