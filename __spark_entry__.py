@@ -12,9 +12,10 @@ both sides so value hashes compare exactly (Spark and DuckDB produce
 identical IEEE doubles for these expressions — verified for jaro_winkler,
 levenshtein and cosine).
 
-Non-SQL-expressible entries (documented at the bottom of ``queries``):
-simhash + multimodal feature extraction — the driver records rows-only
-checks for those.
+Every query has a DuckDB oracle (no rows-only entries): the catalog-match
+query is scoped to identifier-only blocking with null names so its score
+arithmetic — including the duplicate penalty, quirk-Q1 discrepancy
+inversion, and decision bands — is exactly SQL-expressible.
 """
 
 from __future__ import annotations
@@ -163,36 +164,44 @@ def _sql_clean_name_key(sf: str) -> str:
 
 
 def q_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 pair generation — per-key self-join with id_l < id_r and the
-    LIMIT-100 style cap on oversized groups (key: supplier nation+balance
-    sign; engine analog of generate_pairs)."""
+    """S3 pair generation through the SHIPPED operator
+    (operators/blocking.generate_pairs): supplier rows keyed by
+    nation+balance sign become a single 'mei'-pass key table; the operator
+    applies the max_block_size cap and the salted hot-key self-join (salt
+    threshold forced low so the salted path is exercised and verified —
+    salting must not change the pair set). The oracle is the plain
+    per-key self-join with the same cap."""
+    from entity_matching_spark.config import MatchConfig
+    from entity_matching_spark.operators.blocking import generate_pairs
+
     s = _read(spark, sf_dir, "supplier")
-    keyed = s.select(
-        F.concat(F.col("s_nationkey").cast("string"), F.lit(":"),
+    keys = s.select(
+        F.lpad(F.col("s_suppkey").cast("string"), 9, "0").alias("conv_id"),
+        F.lit("mei").alias("pass"),
+        F.concat(F.lit("mei:"), F.col("s_nationkey").cast("string"), F.lit(":"),
                  (F.col("s_acctbal") > 0).cast("string")).alias("key"),
-        F.col("s_suppkey").alias("id"),
     )
-    counts = keyed.groupBy("key").agg(F.count("*").alias("n"))
-    ok = keyed.join(F.broadcast(counts.where(F.col("n") <= 100)), "key")
-    a = ok.select("key", F.col("id").alias("id_a"))
-    b = ok.select("key", F.col("id").alias("id_b"))
-    return (
-        a.join(b, "key").where(F.col("id_a") < F.col("id_b"))
-        .select("key", "id_a", "id_b").orderBy("key", "id_a", "id_b")
-    )
+    cfg = MatchConfig(max_block_size=100, salt_threshold=4, salt_buckets=4)
+    pairs, _dropped = generate_pairs(keys, cfg)
+    return pairs.select(
+        F.col("block_key").alias("key"),
+        F.col("conv_id_a").cast("bigint").alias("id_a"),
+        F.col("conv_id_b").cast("bigint").alias("id_b"),
+        "strategy",
+    ).orderBy("key", "id_a", "id_b")
 
 
 def _sql_block_pairs(sf: str) -> str:
     return """
     WITH keyed AS (
-      SELECT CAST(s_nationkey AS VARCHAR) || ':' ||
+      SELECT 'mei:' || CAST(s_nationkey AS VARCHAR) || ':' ||
              CASE WHEN s_acctbal > 0 THEN 'true' ELSE 'false' END AS key,
              s_suppkey AS id
       FROM supplier
     ), ok AS (
       SELECT key FROM keyed GROUP BY key HAVING COUNT(*) <= 100
     )
-    SELECT k1.key AS key, k1.id AS id_a, k2.id AS id_b
+    SELECT k1.key AS key, k1.id AS id_a, k2.id AS id_b, 'IDENTIFIER' AS strategy
     FROM keyed k1 JOIN keyed k2 USING (key) JOIN ok USING (key)
     WHERE k1.id < k2.id
     ORDER BY key, id_a, id_b
@@ -200,34 +209,45 @@ def _sql_block_pairs(sf: str) -> str:
 
 
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5/SN — overlapping-tile sorted neighborhood over customer names:
-    rank by name, tile = floor(rank/w); pairs within a tile (w=4). The
-    production pass computes the same global rank scalably via
-    repartitionByRange + partition offsets (operators/blocking.py)."""
+    """B5/SN through the SHIPPED operator
+    (operators/blocking.sorted_neighborhood_keys): the distributed
+    deterministic formulation (hash-sampled boundaries + per-range local
+    ranks + driver offsets — NO global single-partition window) must emit
+    exactly the tile keys of the textbook global row_number formulation,
+    which is what the DuckDB oracle computes (window w=3, overlap ceil(w/2))."""
+    from entity_matching_spark.config import MatchConfig
+    from entity_matching_spark.operators.blocking import sorted_neighborhood_keys
+
     c = _read(spark, sf_dir, "customer")
-    w = Window.orderBy("c_name", "c_custkey")
-    ranked = c.select(
-        "c_custkey", "c_name", ((F.row_number().over(w) - 1) / 4).cast("long").alias("tile")
+    records = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("conv_id"),
+        F.col("c_name").alias("norm_legal_name"),
     )
-    a = ranked.select("tile", F.col("c_custkey").alias("id_a"))
-    b = ranked.select("tile", F.col("c_custkey").alias("id_b"))
-    return (
-        a.join(b, "tile").where(F.col("id_a") < F.col("id_b"))
-        .select("tile", "id_a", "id_b").orderBy("tile", "id_a", "id_b")
-    )
+    keys = sorted_neighborhood_keys(records, MatchConfig())
+    return keys.select(
+        F.col("conv_id").cast("bigint").alias("c_custkey"), "pass", "key"
+    ).orderBy("c_custkey", "key")
 
 
 def _sql_sorted_neighborhood(sf: str) -> str:
+    # window w=3 (MatchConfig default), overlap half=ceil((3+1)/2)=2
     return """
     WITH ranked AS (
       SELECT c_custkey,
-             CAST(floor((ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1) / 4) AS BIGINT) AS tile
+             ROW_NUMBER() OVER (
+               ORDER BY c_name, lpad(CAST(c_custkey AS VARCHAR), 9, '0')) - 1 AS gidx
       FROM customer
+    ), both_keys AS (
+      SELECT c_custkey, 'sorted_neighborhood:' ||
+             CAST(CAST(floor(gidx / 3) AS BIGINT) AS VARCHAR) AS key
+      FROM ranked
+      UNION
+      SELECT c_custkey, 'sorted_neighborhood:' ||
+             CAST(CAST(floor((gidx + 2) / 3) AS BIGINT) AS VARCHAR) AS key
+      FROM ranked
     )
-    SELECT r1.tile AS tile, r1.c_custkey AS id_a, r2.c_custkey AS id_b
-    FROM ranked r1 JOIN ranked r2 USING (tile)
-    WHERE r1.c_custkey < r2.c_custkey
-    ORDER BY tile, id_a, id_b
+    SELECT c_custkey, 'sorted_neighborhood' AS pass, key
+    FROM both_keys ORDER BY c_custkey, key
     """
 
 
@@ -332,45 +352,50 @@ def _sql_levenshtein(sf: str) -> str:
 # Group K — scoring arithmetic, ranking, decisions
 # ===========================================================================
 
-def q_identifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 identifier components — first-match-wins base 40/35/30/25, boosts
-    20/15, Q3 debt-domain boost dropped, +5 per extra identifier
-    (engine/IdentifierMatcher.java:29-105, engine/ConfidenceScorer.java:54-98)."""
+def _identifier_records(spark, sf_dir) -> DataFrame:
+    """Synthesized S1-shaped record table (identifier columns patterned off
+    customer keys, names null) for exercising the shipped scoring kernel."""
+    from entity_matching_spark.operators.score import SIDE_COLS
+
     c = _read(spark, sf_dir, "customer")
-    k = c.select(
-        "c_custkey",
-        (F.col("c_custkey") % 10).alias("mei"),
-        (F.col("c_custkey") % 6).alias("lei"),
-        (F.col("c_custkey") % 4).alias("ein"),
-        (F.col("c_custkey") % 3).alias("dd"),
-        (F.col("c_custkey") % 5 == 0).alias("has_mei"),
-        (F.col("c_custkey") % 3 == 0).alias("has_lei"),
-        (F.col("c_custkey") % 2 == 0).alias("has_ein"),
-        (F.col("c_custkey") % 4 == 0).alias("has_dd"),
+    vals = {
+        "conv_id": F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+        "mei": F.when(F.col("c_custkey") % 5 == 0, (F.col("c_custkey") % 10).cast("string")),
+        "lei": F.when(F.col("c_custkey") % 3 == 0, (F.col("c_custkey") % 6).cast("string")),
+        "ein": F.when(F.col("c_custkey") % 2 == 0, (F.col("c_custkey") % 4).cast("string")),
+        "ein_nohyphen": F.when(F.col("c_custkey") % 2 == 0, (F.col("c_custkey") % 4).cast("string")),
+        "debt_domain_id": F.when(F.col("c_custkey") % 4 == 0, (F.col("c_custkey") % 3).cast("string")),
+        "has_tax": F.lit(False),
+    }
+    return c.select(*[
+        (vals[x] if x in vals else F.lit(None).cast("string")).alias(x) for x in SIDE_COLS
+    ])
+
+
+def q_identifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 identifier components THROUGH the shipped kernel
+    (operators/score.score_pairs over a synthesized record table): first-
+    match-wins base 40/35/30/25, boosts 20/15, Q3 debt-domain boost dropped,
+    +5 per extra identifier (engine/IdentifierMatcher.java:29-105,
+    engine/ConfidenceScorer.java:54-98). The oracle transcribes the same
+    arithmetic in SQL; matching hashes verify the EXECUTED operator path."""
+    from entity_matching_spark.operators.score import score_pairs
+
+    records = _identifier_records(spark, sf_dir)
+    a = records.select(F.col("conv_id").alias("conv_id_a"))
+    b = records.select(F.col("conv_id").alias("conv_id_b"))
+    pairs = a.join(
+        b, F.col("conv_id_b") == F.lpad((F.col("conv_id_a").cast("bigint") + 60).cast("string"), 9, "0")
+    ).select(
+        "conv_id_a", "conv_id_b",
+        F.lit("IDENTIFIER").alias("strategy"), F.lit("mei").alias("pass"),
+        F.lit("mei:x").alias("block_key"),
     )
-    a = k.select([F.col(x).alias(f"{x}_a") for x in k.columns])
-    b = k.select([F.col(x).alias(f"{x}_b") for x in k.columns])
-    pairs = a.join(b, F.col("c_custkey_b") == F.col("c_custkey_a") + 60)
-    mei_eq = F.col("has_mei_a") & F.col("has_mei_b") & (F.col("mei_a") == F.col("mei_b"))
-    lei_eq = F.col("has_lei_a") & F.col("has_lei_b") & (F.col("lei_a") == F.col("lei_b"))
-    ein_eq = F.col("has_ein_a") & F.col("has_ein_b") & (F.col("ein_a") == F.col("ein_b"))
-    dd_eq = F.col("has_dd_a") & F.col("has_dd_b") & (F.col("dd_a") == F.col("dd_b"))
-    base = (
-        F.when(mei_eq, 40.0).when(lei_eq, 35.0).when(ein_eq, 30.0).when(dd_eq, 25.0)
-        .otherwise(0.0)
-    )
-    boosts = (
-        F.when(lei_eq & mei_eq, 20.0).otherwise(0.0)
-        + F.when(ein_eq & (mei_eq | lei_eq), 15.0).otherwise(0.0)
-    )
-    idc = (
-        mei_eq.cast("int") + lei_eq.cast("int") + ein_eq.cast("int")
-        + (dd_eq & ~(mei_eq | lei_eq | ein_eq)).cast("int")
-    )
-    multi = F.when(idc > 1, (idc - 1) * 5.0).otherwise(0.0)
-    return pairs.select(
-        F.col("c_custkey_a").alias("id_a"), F.col("c_custkey_b").alias("id_b"),
-        (base + boosts).alias("identifier_score"), multi.alias("multi_id_bonus"),
+    scored = score_pairs(records, pairs)
+    return scored.select(
+        F.col("conv_id_a").cast("bigint").alias("id_a"),
+        F.col("conv_id_b").cast("bigint").alias("id_b"),
+        "identifier_score", "multi_id_bonus",
     ).where(F.col("identifier_score") > 0).orderBy("id_a")
 
 
@@ -407,6 +432,110 @@ def _sql_identifier_scoring(sf: str) -> str:
            + CASE WHEN lei_eq AND mei_eq THEN 20.0 ELSE 0.0 END
            + CASE WHEN ein_eq AND (mei_eq OR lei_eq) THEN 15.0 ELSE 0.0 END) > 0
     ORDER BY id_a
+    """
+
+
+def q_discrepancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group I discrepancy flags THROUGH the shipped kernel: a record table
+    synthesized with geographic conflicts (MEI country prefix vs address —
+    I6 and I15), identifier mismatches (I1 critical, LEI/EIN high, DD
+    medium), one-sided MEIs (I2) and shared cleaned-name keys (I13) runs the
+    real score_pairs; the query reports per-flag counts
+    (DiscrepancyDetector.java:58-348). The oracle enumerates the same
+    conditions in SQL — nonzero counts for every listed flag are asserted by
+    construction of the fixture."""
+    from entity_matching_spark.operators.score import SIDE_COLS, score_pairs
+
+    # Pair stride 84 aligns the PRESENCE moduli (4, 6, 7 divide 84) while
+    # every VALUE modulus (20, 15, 11, 5) is offset — so both-present pairs
+    # always mismatch; MEI presence uses mod 9 (84%9=3) so one-sided MEIs
+    # (I2) also occur.
+    cst = _read(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    c = F.col("c_custkey")
+    vals = {
+        "conv_id": F.lpad(c.cast("string"), 9, "0"),
+        "mei": F.when(
+            c % 9 != 2,
+            F.concat(F.when(c % 5 == 0, "GB").otherwise("US"),
+                     F.lpad((c % 20 * 3).cast("string"), 8, "0")),
+        ),
+        "lei": F.when(c % 4 == 0, (c % 15).cast("string")),
+        "ein_nohyphen": F.when(c % 6 == 0, (c % 11).cast("string")),
+        "debt_domain_id": F.when(c % 7 == 0, (c % 5).cast("string")),
+        "country_code": F.when(c % 11 == 0, "FR").otherwise("US"),
+        "clean_name_key": F.concat(F.lit("grp"), (c % 30).cast("string")),
+        "has_tax": F.lit(False),
+    }
+    records = cst.select(*[
+        (vals[x] if x in vals else F.lit(None).cast("string")).alias(x) for x in SIDE_COLS
+    ])
+    a = records.select(F.col("conv_id").alias("conv_id_a"))
+    b = records.select(F.col("conv_id").alias("conv_id_b"))
+    pairs = a.join(
+        b, F.col("conv_id_b") == F.lpad((F.col("conv_id_a").cast("bigint") + 84).cast("string"), 9, "0")
+    ).select(
+        "conv_id_a", "conv_id_b",
+        F.lit("IDENTIFIER").alias("strategy"), F.lit("mei").alias("pass"),
+        F.lit("mei:x").alias("block_key"),
+    )
+    scored = score_pairs(records, pairs)
+    d = scored.select(F.explode("discrepancies").alias("d"))
+    return (
+        d.groupBy(F.col("d.type").alias("disc_type"), F.col("d.severity").alias("severity"))
+        .agg(F.count("*").alias("n")).orderBy("disc_type")
+    )
+
+
+def _sql_discrepancy_report(sf: str) -> str:
+    return """
+    WITH rec AS (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS conv_id, c_custkey AS c,
+             CASE WHEN c_custkey % 9 <> 2 THEN
+               (CASE WHEN c_custkey % 5 = 0 THEN 'GB' ELSE 'US' END)
+               || lpad(CAST(c_custkey % 20 * 3 AS VARCHAR), 8, '0') END AS mei,
+             CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 15 AS VARCHAR) END AS lei,
+             CASE WHEN c_custkey % 6 = 0 THEN CAST(c_custkey % 11 AS VARCHAR) END AS ein,
+             CASE WHEN c_custkey % 7 = 0 THEN CAST(c_custkey % 5 AS VARCHAR) END AS dd,
+             CASE WHEN c_custkey % 11 = 0 THEN 'FR' ELSE 'US' END AS cc,
+             'grp' || CAST(c_custkey % 30 AS VARCHAR) AS cnk
+      FROM customer WHERE c_custkey < 500
+    ), keycnt AS (
+      SELECT cnk, COUNT(*) AS n FROM rec GROUP BY cnk
+    ), p AS (
+      SELECT a.mei AS mei_a, b.mei AS mei_b, a.lei AS lei_a, b.lei AS lei_b,
+             a.ein AS ein_a, b.ein AS ein_b, a.dd AS dd_a, b.dd AS dd_b,
+             a.cc AS cc_a, b.cc AS cc_b,
+             (SELECT n FROM keycnt WHERE cnk = b.cnk) > 1 AS sndup_b
+      FROM rec a JOIN rec b ON b.c = a.c + 84
+    )
+    SELECT disc_type, severity, n FROM (
+      SELECT 'MEI_MISMATCH' AS disc_type, 'CRITICAL' AS severity, COUNT(*) AS n
+      FROM p WHERE mei_a IS NOT NULL AND mei_b IS NOT NULL AND mei_a <> mei_b
+      UNION ALL
+      SELECT 'MEI_MISSING_LOANIQ', 'HIGH', COUNT(*)
+      FROM p WHERE mei_a IS NOT NULL AND mei_b IS NULL
+      UNION ALL
+      SELECT 'LEI_MISMATCH', 'HIGH', COUNT(*)
+      FROM p WHERE lei_a IS NOT NULL AND lei_b IS NOT NULL AND lei_a <> lei_b
+      UNION ALL
+      SELECT 'EIN_MISMATCH', 'HIGH', COUNT(*)
+      FROM p WHERE ein_a IS NOT NULL AND ein_b IS NOT NULL AND ein_a <> ein_b
+      UNION ALL
+      SELECT 'DEBT_DOMAIN_ID_MISMATCH', 'MEDIUM', COUNT(*)
+      FROM p WHERE dd_a IS NOT NULL AND dd_b IS NOT NULL AND dd_a <> dd_b
+      UNION ALL
+      SELECT 'COUNTRY_MISMATCH_MEI_ADDRESS', 'MEDIUM', COUNT(*)
+      FROM p WHERE mei_a IS NOT NULL AND cc_a IS NOT NULL AND substr(mei_a, 1, 2) <> cc_a
+      UNION ALL
+      SELECT 'COUNTRY_MISMATCH_FORM_LOANIQ', 'MEDIUM', COUNT(*)
+      FROM p WHERE cc_a IS NOT NULL AND cc_b IS NOT NULL AND cc_a <> cc_b
+      UNION ALL
+      SELECT 'INTERNAL_COUNTRY_MISMATCH', 'MEDIUM', COUNT(*)
+      FROM p WHERE mei_b IS NOT NULL AND cc_b IS NOT NULL AND substr(mei_b, 1, 2) <> cc_b
+      UNION ALL
+      SELECT 'POTENTIAL_DUPLICATE_SHORT_NAME', 'LOW', COUNT(*)
+      FROM p WHERE sndup_b
+    ) WHERE n > 0 ORDER BY disc_type
     """
 
 
@@ -581,44 +710,77 @@ def _sql_dedup_exact(sf: str) -> str:
     """
 
 
+# Token document-frequency cap for the inverted-index candidate join: tokens
+# appearing in more than this many documents (per source) are stopword-grade —
+# they create quadratic hot keys in the self-join and discriminate nothing.
+# Candidates must share at least one SUB-cap token; the Jaccard itself is then
+# computed EXACTLY over the full token sets (array_intersect), so the cap
+# affects only candidate recall, never the reported similarity. Pairs whose
+# every shared token is over-cap are the only losses — at threshold 0.5 those
+# are stopword-soup pairs, not near-duplicates. The same discipline as
+# operators/blocking.py:221-226 (max_block_size + reporting).
+_TOKEN_DF_CAP = 50
+
+
 def q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram/token Jaccard near-dup — distinct-token sets, candidate pairs
-    blocked by `source`, Jaccard = |inter| / |union|, threshold 0.5."""
+    """N-gram/token Jaccard near-dup — df-capped inverted-index candidate
+    generation (blocked by `source`), then exact Jaccard over the full
+    distinct-token sets; threshold 0.5."""
     d = _read(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).where(F.col("tok") != "")
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.select(F.col("doc_id").alias("doc_a"), "source", "tok")
-    b = toks.select(F.col("doc_id").alias("doc_b"), "source", "tok")
-    inter = (
+    # candidate generation only over sub-cap tokens (no broadcast hint: the
+    # token-df table scales with the vocabulary; AQE decides)
+    dfreq = toks.groupBy("source", "tok").agg(F.count("*").alias("df"))
+    rare = toks.join(dfreq.where(F.col("df") <= _TOKEN_DF_CAP), ["source", "tok"])
+    a = rare.select(F.col("doc_id").alias("doc_a"), "source", "tok")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "source", "tok")
+    cand = (
         a.join(b, ["source", "tok"]).where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+        .select("doc_a", "doc_b").distinct()
     )
+    # exact Jaccard for candidates from the FULL token sets
+    sets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("tok")).alias("arr"))
     j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 9))
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("arr_a") + F.size("arr_b") - F.col("inter")), 9),
+        )
     )
     return j.where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
 
 def _sql_dedup_token_jaccard(sf: str) -> str:
-    return """
+    return f"""
     WITH toks AS (
       SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
       FROM documents
     ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks2 GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM toks2 a JOIN toks2 b ON a.source = b.source AND a.tok = b.tok
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    dfreq AS (SELECT source, tok, COUNT(*) AS df FROM toks2 GROUP BY 1, 2),
+    rare AS (
+      SELECT t.* FROM toks2 t JOIN dfreq USING (source, tok)
+      WHERE dfreq.df <= {_TOKEN_DF_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.source = b.source AND a.tok = b.tok
+      WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_sort(list(tok)) AS arr FROM toks2 GROUP BY doc_id),
+    j AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.arr, sb.arr)) AS inter,
+             len(sa.arr) AS sz_a, len(sb.arr) AS sz_b
+      FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
     )
     SELECT doc_a, doc_b,
-           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 9) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+           round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 9) AS jaccard
+    FROM j
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.5
     ORDER BY doc_a, doc_b
     """
 
@@ -693,8 +855,9 @@ def _sql_dedup_minhash_lsh(sf: str) -> str:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash — 32-bit signature from md5-derived per-token bit vectors,
-    native Spark bit arithmetic (conv + shiftright). No SQL oracle: DuckDB
-    lacks a compatible hex->bigint conversion; driver records rows-only."""
+    native Spark bit arithmetic (conv + shiftright). DuckDB reproduces the
+    exact signatures via the '0x'||hex -> BIGINT cast (the md5 hash family is
+    engine-independent)."""
     d = _read(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
@@ -713,6 +876,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash")
     )
     return sim.orderBy("doc_id")
+
+
+def _sql_dedup_simhash(sf: str) -> str:
+    return """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+    hv AS (
+      SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks2
+    ),
+    bits AS (
+      SELECT doc_id, bit, ((hv >> bit) & 1) * 2 - 1 AS contrib
+      FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+    ),
+    sig AS (
+      SELECT doc_id, bit, CASE WHEN SUM(contrib) > 0 THEN 1 ELSE 0 END AS b
+      FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id, CAST(SUM(b * (1::BIGINT << bit)) AS BIGINT) AS simhash
+    FROM sig GROUP BY doc_id ORDER BY doc_id
+    """
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,35 +925,33 @@ def _sql_fingerprint(sf: str) -> str:
 # Training-data ops — embedding similarity search
 # ===========================================================================
 
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+# ANN evaluation setup shared by the four queries (and their SQL oracles):
+# centroids = vectors with vec_id < 16 (deterministic seed set), probes =
+# vec_id < 20, k = 3 neighbors, n_probe = 4 cells searched per probe.
+_ANN_K = 3
+_ANN_NPROBE = 4
+
+
+def _ann_parts(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+    probes = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    return e, cents, probes
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for probe vectors (vec_id < 20) —
-    the exact baseline for ANN; F.zip_with/F.aggregate keeps the arithmetic
-    JVM-side. Output is ids+rank only (float-free, hash-stable)."""
-    e = _read(spark, sf_dir, "embeddings")
-    probes = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
-    )
-    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    sims = (
-        probes.crossJoin(cand)
-        .where(F.col("neighbor_id") != F.col("probe_id"))
-        .select(
-            "probe_id", "neighbor_id",
-            _cosine(F.col("pe").cast("array<double>"), F.col("ce").cast("array<double>")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
-        .select("probe_id", "rank", "neighbor_id").orderBy("probe_id", "rank")
-    )
+    the exact baseline for ANN (operators/ann.brute_force_topk);
+    F.zip_with/F.aggregate keeps the arithmetic JVM-side. Output is ids+rank
+    only (float-free, hash-stable)."""
+    from entity_matching_spark.operators.ann import brute_force_topk
+
+    e, _, probes = _ann_parts(spark, sf_dir)
+    return brute_force_topk(e, probes, _ANN_K).orderBy("probe_id", "rank")
 
 
 def _sql_ann_cosine_topk(sf: str) -> str:
@@ -790,39 +972,130 @@ def _sql_ann_cosine_topk(sf: str) -> str:
 
 
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantizer — centroids := vectors with vec_id < 16 (a
-    deterministic seed set); every vector is assigned to its nearest centroid
-    by cosine. The scale path: search only the probe's cell instead of all
-    vectors (the bucketed variant of q_ann_cosine_topk)."""
-    e = _read(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    """IVF coarse quantizer (operators/ann.assign_cells) — every vector is
+    assigned to its nearest centroid by cosine; the materialized inverted
+    file that ann_ivf_search probes."""
+    from entity_matching_spark.operators.ann import assign_cells
+
+    e, cents, _ = _ann_parts(spark, sf_dir)
+    return assign_cells(e, cents).orderBy("vec_id")
+
+
+# shared oracle CTEs for the IVF family (DuckDB)
+_SQL_ANN_CENTS = "SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings WHERE vec_id < 16"
+_SQL_ANN_PROBES = "SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 20"
+_SQL_ANN_ASSIGN = """
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(cemb AS DOUBLE[])) DESC,
+                 centroid_id ASC) AS r
+        FROM embeddings e, cents
+      ) WHERE r = 1
+"""
+_SQL_ANN_IVF_TOPK = f"""
+    pcells AS (
+      SELECT probe_id, centroid_id FROM (
+        SELECT probe_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+                 list_cosine_similarity(CAST(pe AS DOUBLE[]), CAST(cemb AS DOUBLE[])) DESC,
+                 centroid_id ASC) AS r
+        FROM probes, cents
+      ) WHERE r <= {_ANN_NPROBE}
+    ),
+    cand AS (
+      SELECT probe_id, a.vec_id AS neighbor_id
+      FROM pcells JOIN assign a USING (centroid_id)
+      WHERE a.vec_id <> probe_id
+    ),
+    ivf_sims AS (
+      SELECT probe_id, neighbor_id,
+             list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos
+      FROM cand JOIN embeddings p ON p.vec_id = probe_id
+                JOIN embeddings n ON n.vec_id = neighbor_id
+    ),
+    ivf_topk AS (
+      SELECT probe_id, rank, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM ivf_sims
+      ) WHERE rank <= {_ANN_K}
     )
-    sims = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid_id",
-        _cosine(F.col("embedding").cast("array<double>"), F.col("cemb").cast("array<double>")).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
-    return (
-        sims.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1)
-        .select("vec_id", "centroid_id").orderBy("vec_id")
-    )
+"""
 
 
 def _sql_ann_ivf_assign(sf: str) -> str:
-    return """
-    WITH cents AS (
-      SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings WHERE vec_id < 16
-    ), sims AS (
-      SELECT e.vec_id, centroid_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(cemb AS DOUBLE[])) AS cos
-      FROM embeddings e, cents
+    return f"""
+    WITH cents AS ({_SQL_ANN_CENTS})
+    SELECT vec_id, centroid_id FROM ({_SQL_ANN_ASSIGN})
+    ORDER BY vec_id
+    """
+
+
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-restricted ANN search (operators/ann.ivf_topk) — each probe
+    searches only its n_probe=4 nearest cells instead of the full corpus:
+    the scale path whose candidate join shuffles on centroid_id (bounded by
+    cell size) instead of cross-joining |V|. Oracle = the identical IVF
+    computation in DuckDB (exact row/hash match); quality vs the exact
+    baseline is measured by ann_ivf_recall."""
+    from entity_matching_spark.operators.ann import ivf_topk
+
+    e, cents, probes = _ann_parts(spark, sf_dir)
+    return ivf_topk(e, cents, probes, _ANN_K, _ANN_NPROBE).orderBy("probe_id", "rank")
+
+
+def _sql_ann_ivf_search(sf: str) -> str:
+    return f"""
+    WITH cents AS ({_SQL_ANN_CENTS}),
+    probes AS ({_SQL_ANN_PROBES}),
+    assign AS ({_SQL_ANN_ASSIGN}),
+    {_SQL_ANN_IVF_TOPK}
+    SELECT probe_id, rank, neighbor_id FROM ivf_topk ORDER BY probe_id, rank
+    """
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF search against the brute-force exact baseline,
+    per probe (operators/ann.ivf_recall) — the quality gate that makes the
+    approximate path honest."""
+    from entity_matching_spark.operators.ann import brute_force_topk, ivf_recall, ivf_topk
+
+    e, cents, probes = _ann_parts(spark, sf_dir)
+    exact = brute_force_topk(e, probes, _ANN_K)
+    ivf = ivf_topk(e, cents, probes, _ANN_K, _ANN_NPROBE)
+    return ivf_recall(ivf, exact, _ANN_K).orderBy("probe_id")
+
+
+def _sql_ann_ivf_recall(sf: str) -> str:
+    return f"""
+    WITH cents AS ({_SQL_ANN_CENTS}),
+    probes AS ({_SQL_ANN_PROBES}),
+    assign AS ({_SQL_ANN_ASSIGN}),
+    {_SQL_ANN_IVF_TOPK},
+    exact_sims AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM probes, embeddings e WHERE e.vec_id <> probe_id
+    ),
+    exact_topk AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM exact_sims
+      ) WHERE rank <= {_ANN_K}
+    ),
+    hits AS (
+      SELECT e.probe_id, COUNT(*) AS n_hits
+      FROM exact_topk e JOIN ivf_topk i
+        ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
     )
-    SELECT vec_id, centroid_id FROM (
-      SELECT vec_id, centroid_id,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
-      FROM sims
-    ) WHERE r = 1 ORDER BY vec_id
+    SELECT p.probe_id,
+           COALESCE(n_hits, 0) AS n_hits,
+           round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / {_ANN_K}, 6) AS recall
+    FROM (SELECT DISTINCT probe_id FROM exact_topk) p LEFT JOIN hits USING (probe_id)
+    ORDER BY probe_id
     """
 
 
@@ -948,52 +1221,163 @@ def _sql_lang_id(sf: str) -> str:
 
 
 def q_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probe-vs-catalog matching mode (operators/catalog.py): catalog built
-    from supplier, probes from customer, identifiers aligned so MEI blocking
-    fires; full S4 scoring incl. location-UNION semantics. Rows-only (the
-    scoring pandas UDF has no SQL equivalent)."""
+    """Probe-vs-catalog matching mode through the SHIPPED operator
+    (operators/catalog.match_records_to_catalog): catalog from supplier,
+    probes from customer, identifier-only blocking — with names/tax/fund
+    manager null, every score component (identifier base+boosts, multi-id
+    bonus, geo consistency, discrepancy penalty under quirk Q1, the J1
+    duplicate -5, decision bands, the post-scoring I14 orphan-location flag)
+    is integer arithmetic that the DuckDB oracle reproduces EXACTLY. The
+    fixture is deliberately adversarial: MEI country prefixes conflicting
+    with addresses (I6/I15), cross-identifier mismatches (I1 critical,
+    LEI/EIN high), missing-in-catalog MEIs (I2), and orphan locations."""
+    from entity_matching_spark.config import MatchConfig
     from entity_matching_spark.operators.catalog import match_records_to_catalog
     from entity_matching_spark.operators.score import SIDE_COLS
 
     s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
     catalog = s.select(
-        F.col("s_suppkey").cast("bigint").alias("entity_id"),
-        F.concat(F.lit("Supplier "), (F.col("s_suppkey") % 50).cast("string"),
-                 F.lit(" Capital")).alias("full_name"),
-        F.concat(F.lit("sup"), F.col("s_suppkey").cast("string")).alias("short_name"),
+        k.cast("bigint").alias("entity_id"),
+        F.concat(F.lit("Vendor "), F.lpad(k.cast("string"), 4, "0"), F.lit(" Works")).alias("full_name"),
+        F.concat(F.lit("V"), F.lpad(k.cast("string"), 4, "0")).alias("short_name"),
         F.lit(None).cast("string").alias("ultimate_parent"),
-        F.concat(F.lit("US"), F.lpad((F.col("s_suppkey") % 50 * 7).cast("string"), 8, "0")).alias("mei"),
-        F.lit(None).cast("string").alias("lei"),
-        F.lit(None).cast("string").alias("ein"),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.when(k % 3 == 0, "GB").otherwise("US"),
+                     F.lpad((k % 40 * 7).cast("string"), 8, "0")),
+        ).alias("mei"),
+        F.when(k % 5 == 0, F.concat(F.lit("L"), F.lpad((k % 20).cast("string"), 19, "0"))).alias("lei"),
+        F.when(k % 3 == 0, F.lpad((k % 25).cast("string"), 9, "0")).alias("ein"),
         F.lit(None).cast("string").alias("debt_domain_id"),
         F.lit(None).cast("string").alias("email_domain"),
         F.lit("US").alias("country_code"),
         F.lit(None).cast("string").alias("legal_address"),
         F.lit(None).cast("string").alias("tax_address"),
-        F.when(F.col("s_suppkey") % 10 == 0, "LOCATION").otherwise("MAIN").alias("record_type"),
-        F.when(F.col("s_suppkey") % 20 == 0, F.col("s_suppkey").cast("bigint")).alias("parent_customer_id"),
+        F.when(k % 10 == 0, "LOCATION").otherwise("MAIN").alias("record_type"),
+        F.when((k % 10 == 0) & (k % 20 != 0), k.cast("bigint")).alias("parent_customer_id"),
         F.lit(None).cast("timestamp").alias("last_modified"),
     )
-    c = _read(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
-    cols = list(SIDE_COLS)
-    name = F.concat(F.lit("Supplier "), (F.col("c_custkey") % 50).cast("string"), F.lit(" Capital"))
-    base = {
-        "conv_id": F.concat(F.lit("conv"), F.lpad(F.col("c_custkey").cast("string"), 8, "0")),
+    cst = _read(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    c = F.col("c_custkey")
+    vals = {
+        "conv_id": F.concat(F.lit("conv"), F.lpad(c.cast("string"), 8, "0")),
         "has_tax": F.lit(False),
-        "mei": F.concat(F.lit("US"), F.lpad((F.col("c_custkey") % 50 * 7).cast("string"), 8, "0")),
-        "legal_name": name,
-        "norm_legal_name": F.lower(name),
-        "clean_name_key": F.regexp_replace(F.lower(name), "[^a-z0-9]", ""),
-        "country_code": F.lit("US"),
-        "entity_type": F.lit("UNKNOWN"),
+        "mei": F.when(c % 4 != 3, F.concat(F.lit("US"), F.lpad((c % 40 * 7).cast("string"), 8, "0"))),
+        "lei": F.when(c % 5 == 0, F.concat(F.lit("L"), F.lpad((c % 20).cast("string"), 19, "0"))),
+        "ein": F.when(c % 3 == 0, F.lpad((c % 25).cast("string"), 9, "0")),
+        "ein_nohyphen": F.when(c % 3 == 0, F.lpad((c % 25).cast("string"), 9, "0")),
+        "country_code": F.when(c % 7 == 0, "GB").otherwise("US"),
     }
-    probes = c.select(*[
-        (base[x] if x in base else F.lit(None).cast("string")).alias(x) for x in cols
+    probes = cst.select(*[
+        (vals[x] if x in vals else F.lit(None).cast("string")).alias(x) for x in SIDE_COLS
     ])
-    scored = match_records_to_catalog(probes, catalog)
+    cfg = MatchConfig(blocking_passes=("mei", "lei", "ein"))
+    scored = match_records_to_catalog(probes, catalog, cfg)
     return scored.select(
-        "probe_conv_id", "entity_id", "strategy", "identifier_score", "score", "decision"
+        "probe_conv_id", "entity_id", "strategy",
+        "identifier_score", "multi_id_bonus", "geo_score", "discrepancy_penalty",
+        "has_critical", F.size("discrepancies").alias("n_discrepancies"),
+        "score", "confidence", "decision",
     ).orderBy("probe_conv_id", "entity_id")
+
+
+def _sql_catalog_match(sf: str) -> str:
+    return """
+    WITH cat AS (
+      SELECT s_suppkey AS entity_id,
+             CASE WHEN s_suppkey % 2 = 0 THEN
+               (CASE WHEN s_suppkey % 3 = 0 THEN 'GB' ELSE 'US' END)
+               || lpad(CAST(s_suppkey % 40 * 7 AS VARCHAR), 8, '0') END AS mei,
+             CASE WHEN s_suppkey % 5 = 0 THEN
+               'L' || lpad(CAST(s_suppkey % 20 AS VARCHAR), 19, '0') END AS lei,
+             CASE WHEN s_suppkey % 3 = 0 THEN
+               lpad(CAST(s_suppkey % 25 AS VARCHAR), 9, '0') END AS ein,
+             'US' AS cc,
+             -- LOCATION rows are k%10=0; parents exist only when k%20<>0,
+             -- so the orphans are exactly k%20=0
+             (s_suppkey % 20 = 0) AS is_orphan
+      FROM supplier
+    ), probe AS (
+      SELECT 'conv' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS conv_id,
+             CASE WHEN c_custkey % 4 <> 3 THEN
+               'US' || lpad(CAST(c_custkey % 40 * 7 AS VARCHAR), 8, '0') END AS mei,
+             CASE WHEN c_custkey % 5 = 0 THEN
+               'L' || lpad(CAST(c_custkey % 20 AS VARCHAR), 19, '0') END AS lei,
+             CASE WHEN c_custkey % 3 = 0 THEN
+               lpad(CAST(c_custkey % 25 AS VARCHAR), 9, '0') END AS ein,
+             CASE WHEN c_custkey % 7 = 0 THEN 'GB' ELSE 'US' END AS cc
+      FROM customer WHERE c_custkey < 200
+    ), all_ids AS (
+      SELECT conv_id AS rid, mei, lei, ein FROM probe
+      UNION ALL
+      SELECT 'zcat:' || CAST(entity_id AS VARCHAR) AS rid, mei, lei, ein FROM cat
+    ), pairs AS (
+      SELECT p.conv_id, c.entity_id,
+             (p.mei IS NOT NULL AND c.mei IS NOT NULL AND p.mei = c.mei) AS mei_eq,
+             (p.lei IS NOT NULL AND c.lei IS NOT NULL AND p.lei = c.lei) AS lei_eq,
+             (p.ein IS NOT NULL AND c.ein IS NOT NULL AND p.ein = c.ein) AS ein_eq,
+             p.mei AS mei_a, c.mei AS mei_b, p.lei AS lei_a, c.lei AS lei_b,
+             p.ein AS ein_a, c.ein AS ein_b, p.cc AS cc_a, c.cc AS cc_b,
+             c.is_orphan
+      FROM probe p JOIN cat c
+        ON (p.mei IS NOT NULL AND p.mei = c.mei)
+        OR (p.lei IS NOT NULL AND p.lei = c.lei)
+        OR (p.ein IS NOT NULL AND p.ein = c.ein)
+    ), scored AS (
+      SELECT *,
+        (CASE WHEN mei_eq THEN 40.0 WHEN lei_eq THEN 35.0 WHEN ein_eq THEN 30.0 ELSE 0.0 END
+         + CASE WHEN lei_eq AND mei_eq THEN 20.0 ELSE 0.0 END
+         + CASE WHEN ein_eq AND (mei_eq OR lei_eq) THEN 15.0 ELSE 0.0 END) AS identifier_score,
+        CASE WHEN (CAST(mei_eq AS INT) + CAST(lei_eq AS INT) + CAST(ein_eq AS INT)) > 1
+             THEN (CAST(mei_eq AS INT) + CAST(lei_eq AS INT) + CAST(ein_eq AS INT) - 1) * 5.0
+             ELSE 0.0 END AS multi_id_bonus,
+        CASE WHEN mei_a IS NOT NULL AND mei_b IS NOT NULL
+             THEN (CASE WHEN substr(mei_a, 1, 2) = substr(mei_b, 1, 2) THEN 10.0 ELSE 0.0 END)
+             ELSE (CASE WHEN cc_a = cc_b THEN 10.0 ELSE 0.0 END) END AS geo_score,
+        (mei_a IS NOT NULL AND mei_b IS NOT NULL AND mei_a <> mei_b) AS f_mei_mismatch,
+        (mei_a IS NOT NULL AND mei_b IS NULL) AS f_mei_missing,
+        (lei_a IS NOT NULL AND lei_b IS NOT NULL AND lei_a <> lei_b) AS f_lei_mismatch,
+        (ein_a IS NOT NULL AND ein_b IS NOT NULL AND ein_a <> ein_b) AS f_ein_mismatch,
+        (mei_a IS NOT NULL AND substr(mei_a, 1, 2) <> cc_a) AS f_cc_mei_addr,
+        (cc_a <> cc_b) AS f_cc_form_loaniq,
+        (mei_b IS NOT NULL AND substr(mei_b, 1, 2) <> cc_b) AS f_internal_cc,
+        EXISTS (SELECT 1 FROM all_ids o
+                WHERE o.rid <> 'zcat:' || CAST(entity_id AS VARCHAR)
+                  AND (o.mei = mei_b OR o.lei = lei_b OR o.ein = ein_b)) AS dup_b
+      FROM pairs
+    ), fin AS (
+      SELECT *,
+        -- Q1 inverted penalty: negative severity constants, scorer subtracts
+        least(-(25.0 * CAST(f_mei_mismatch AS INT)
+                + 15.0 * (CAST(f_mei_missing AS INT) + CAST(f_lei_mismatch AS INT)
+                          + CAST(f_ein_mismatch AS INT))
+                + 10.0 * (CAST(f_cc_mei_addr AS INT) + CAST(f_cc_form_loaniq AS INT)
+                          + CAST(f_internal_cc AS INT))), 50.0) AS penalty,
+        (CAST(f_mei_mismatch AS INT) + CAST(f_mei_missing AS INT)
+         + CAST(f_lei_mismatch AS INT) + CAST(f_ein_mismatch AS INT)
+         + CAST(f_cc_mei_addr AS INT) + CAST(f_cc_form_loaniq AS INT)
+         + CAST(f_internal_cc AS INT) + CAST(is_orphan AS INT)) AS n_discrepancies
+      FROM scored
+    ), dec AS (
+      SELECT conv_id AS probe_conv_id, entity_id, 'IDENTIFIER' AS strategy,
+             identifier_score, multi_id_bonus, geo_score,
+             penalty AS discrepancy_penalty, f_mei_mismatch AS has_critical,
+             n_discrepancies,
+             greatest(0.0, least(100.0,
+               identifier_score + geo_score - penalty + multi_id_bonus
+               - CASE WHEN dup_b THEN 5.0 ELSE 0.0 END)) AS score
+      FROM fin
+    )
+    SELECT *,
+           CASE WHEN score >= 95 THEN 'HIGH' WHEN score >= 85 THEN 'MEDIUM_HIGH'
+                WHEN score >= 70 THEN 'MEDIUM' ELSE 'REVIEW' END AS confidence,
+           CASE WHEN score >= 85 AND NOT has_critical THEN 'MATCH'
+                WHEN score >= 85 THEN 'MANUAL_REVIEW'
+                WHEN score >= 50 THEN 'MANUAL_REVIEW'
+                ELSE 'NO_MATCH' END AS decision
+    FROM dec ORDER BY probe_conv_id, entity_id
+    """
 
 
 # ===========================================================================
@@ -1005,8 +1389,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata; feature extraction via mapInPandas over Arrow batches.
     The decode step is a deterministic fake (byte-level stats standing in
     for image/audio decoding — those libs are absent here); the Spark-side
-    schema, batching and partitioning are real. No SQL oracle (binary+UDF);
-    driver records rows-only."""
+    schema, batching and partitioning are real.
+
+    The query projects only the exact-integer/string slice of the feature
+    output (the float feature vector is array-typed and float-summed — not
+    cross-engine hashable); DuckDB reproduces the byte stats from codepoints
+    (the corpus is ASCII, so codepoint == byte)."""
     from entity_matching_spark.operators.multimodal import extract_binary_features
 
     d = _read(spark, sf_dir, "documents")
@@ -1016,7 +1404,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("media_type"),
         F.length("text").alias("n_bytes"),
     )
-    return extract_binary_features(payloads).orderBy("doc_id")
+    return extract_binary_features(payloads).select(
+        "doc_id", "media_type", "n_bytes", "byte_sum", "byte_min", "byte_max", "head_hex"
+    ).orderBy("doc_id")
+
+
+def _sql_multimodal_features(sf: str) -> str:
+    cp = "list_transform(generate_series(1, length(text)), i -> unicode(substr(text, i, 1)))"
+    return f"""
+    SELECT doc_id, 'text/plain' AS media_type, length(text) AS n_bytes,
+           CAST(list_sum({cp}) AS BIGINT) AS byte_sum,
+           CAST(list_min({cp}) AS INT) AS byte_min,
+           CAST(list_max({cp}) AS INT) AS byte_max,
+           lower(hex(substr(text, 1, 8))) AS head_hex
+    FROM documents ORDER BY doc_id
+    """
 
 
 # ===========================================================================
@@ -1072,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em_jaro_winkler": q_jaro_winkler,
         "em_levenshtein": q_levenshtein,
         "em_identifier_scoring": q_identifier_scoring,
+        "em_discrepancy_report": q_discrepancy_report,
         "em_decisions": q_decisions,
         "em_top_k": q_top_k,
         "em_decision_report": q_decision_report,
@@ -1080,15 +1483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,          # rows-only (no oracle)
-        "em_catalog_match": q_catalog_match,       # rows-only (pandas-UDF scoring)
+        "dedup_simhash": q_dedup_simhash,
+        "em_catalog_match": q_catalog_match,
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_search": q_ann_ivf_search,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "text_token_stats": q_token_stats,
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
-        "multimodal_features": q_multimodal_features,  # rows-only (binary+UDF)
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1104,17 +1509,23 @@ def oracle_sql() -> dict[str, str]:
         "em_jaro_winkler": _sql_jaro_winkler(sf),
         "em_levenshtein": _sql_levenshtein(sf),
         "em_identifier_scoring": _sql_identifier_scoring(sf),
+        "em_discrepancy_report": _sql_discrepancy_report(sf),
         "em_decisions": _sql_decisions(sf),
         "em_top_k": _sql_top_k(sf),
         "em_decision_report": _sql_decision_report(sf),
         "em_country_normalize": _sql_country_normalize(sf),
         "em_connected_components": _sql_connected_components(sf),
+        "em_catalog_match": _sql_catalog_match(sf),
         "dedup_exact": _sql_dedup_exact(sf),
         "dedup_token_jaccard": _sql_dedup_token_jaccard(sf),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(sf),
+        "dedup_simhash": _sql_dedup_simhash(sf),
         "doc_fingerprint": _sql_fingerprint(sf),
+        "multimodal_features": _sql_multimodal_features(sf),
         "ann_cosine_topk": _sql_ann_cosine_topk(sf),
         "ann_ivf_assign": _sql_ann_ivf_assign(sf),
+        "ann_ivf_search": _sql_ann_ivf_search(sf),
+        "ann_ivf_recall": _sql_ann_ivf_recall(sf),
         "text_token_stats": _sql_token_stats(sf),
         "text_quality_score": _sql_quality_score(sf),
         "text_lang_id": _sql_lang_id(sf),

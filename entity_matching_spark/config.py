@@ -68,6 +68,13 @@ class MatchConfig:
     # transliteration UDF AND ~12 java.util.regex passes over full documents.
     # Outputs are test-pinned equal either way (test_assemble.py).
     native_doc_normalization: bool = False
+    # A5: treat the input text as OCR-derived — the per-record OCR-confidence
+    # estimate (operators/assemble.ocr_confidence) then multiplies into
+    # extraction_confidence (MultiFormatDocumentExtractor.java:30-62).
+    # Transcripts are born-digital, so the default is False (multiplier 1.0,
+    # exactly the reference's non-OCR path); the ocr_confidence column is
+    # emitted either way.
+    ocr_text_mode: bool = False
     # keep the normalized document text columns in the S1 records output
     # (debugging aid). Off by default: the text dominates row size and is
     # dead weight in every downstream shuffle once extraction has run.
@@ -93,6 +100,10 @@ class MatchConfig:
 
     # --- decision / output
     top_k_matches: int = 5             # MatchingEngine.java:153-155
+    # catalog mode: per-probe cap on FUZZY_NAME candidates (sql/findByName.sql
+    # LIMIT 100); 0 disables. Self-linkage pairs are symmetric, so the cap is
+    # applied only where a probe role exists (operators/catalog.py).
+    max_candidates_per_probe: int = 100
 
     def params_hash(self) -> str:
         """Stable hash of the config for checkpoint identity."""

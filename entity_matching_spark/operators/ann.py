@@ -1,0 +1,133 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Training-data pipelines need similarity search over an ``array<float>``
+embedding column at corpus scale. Two paths:
+
+- ``brute_force_topk``: exact cosine top-k via cross join — the correctness
+  baseline and the oracle for the approximate path. O(|probes| * |vectors|);
+  fine for evaluation probes, not for corpus-vs-corpus.
+- ``ivf_topk``: IVF (inverted-file) cell-restricted search — the scale path.
+  Every vector is assigned to its nearest coarse centroid once
+  (``assign_cells``); a probe searches only its ``n_probe`` nearest cells.
+  Work drops from |V| to ~|V| * n_probe / n_cells per probe, and the
+  candidate join shuffles on ``centroid_id`` — bounded by cell size, which
+  the centroid count controls.
+
+Scale notes (100 TB design):
+- The centroid table is a MODEL PARAMETER (k centroids, k ~ sqrt(|V|) in
+  practice), not data-sized — broadcasting it is correct and intended, unlike
+  broadcasting data-derived tables.
+- Cell assignment is one |V| x k scan with the broadcast centroids: no
+  shuffle until the final per-cell aggregation, and it materializes once for
+  any number of probe batches.
+- All dot products run JVM-side (``F.zip_with`` + ``F.aggregate`` inside
+  whole-stage codegen); no Python in the hot path.
+
+No reference analog (graft-brief requirement beyond fmateoc/entity-matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def _emb(col) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: (vec_id, centroid_id) — nearest centroid by
+    cosine, ties broken by centroid_id for determinism.
+
+    ``vectors``: (vec_id, embedding); ``centroids``: (centroid_id, cemb).
+    The centroid side is broadcast (fixed-k model table, never data-sized).
+    """
+    sims = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id",
+        cosine(_emb("embedding"), _emb("cemb")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def probe_cells(probes: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
+    """(probe_id, centroid_id) for each probe's ``n_probe`` nearest cells,
+    carrying the probe embedding through for the downstream scoring join."""
+    sims = probes.crossJoin(F.broadcast(centroids)).select(
+        "probe_id", "pe", "centroid_id",
+        cosine(_emb("pe"), _emb("cemb")).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("r", F.row_number().over(w)).where(F.col("r") <= n_probe)
+        .select("probe_id", "pe", "centroid_id")
+    )
+
+
+def brute_force_topk(vectors: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-k: (probe_id, rank, neighbor_id). The oracle path."""
+    cand = vectors.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sims = (
+        probes.crossJoin(cand)
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", cosine(_emb("pe"), _emb("ce")).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame, centroids: DataFrame, probes: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """IVF cell-restricted top-k: search only each probe's ``n_probe``
+    nearest cells. (probe_id, rank, neighbor_id); approximate — recall
+    against ``brute_force_topk`` is the quality metric (see ivf_recall).
+    """
+    assign = assign_cells(vectors, centroids)
+    pc = probe_cells(probes, centroids, n_probe)
+    cand = (
+        pc.join(assign, "centroid_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "pe", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = cand.join(
+        vectors.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")),
+        "neighbor_id",
+    ).select("probe_id", "neighbor_id", cosine(_emb("pe"), _emb("ce")).alias("cos"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_recall(ivf: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-probe recall@k of the IVF result against the exact baseline:
+    (probe_id, n_hits, recall)."""
+    hits = exact.join(
+        ivf.select("probe_id", "neighbor_id"), ["probe_id", "neighbor_id"]
+    ).groupBy("probe_id").agg(F.count("*").alias("n_hits"))
+    return (
+        exact.select("probe_id").distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / k, 6).alias("recall"),
+        )
+    )

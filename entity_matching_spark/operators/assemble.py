@@ -53,6 +53,43 @@ def _x(col, pattern):
     return F.nullif(F.regexp_extract(col, pattern, 1), F.lit(""))
 
 
+# Java-'.' (no DOTALL) line-terminator class, used to replicate
+# String.matches(".*<email>.*") exactly (see ocr_confidence)
+_JAVA_DOT_NEG = "[^\\n\\r\\x85\\u2028\\u2029]"
+
+
+def ocr_confidence(col) -> F.Column:
+    """A5 — OCR-confidence estimate (extraction/OCRProcessor.java:93-124),
+    as pure native columns (whole-stage codegen, no UDF):
+
+    base 0.5 + 0.4 * validWordRatio - 10 * artifactRatio
+    (+0.1 when the text full-matches ``.*<email>.*`` — Java ``matches()``
+    without DOTALL, so any line terminator anywhere defeats the bonus; the
+    anchored pattern below replicates that quirk bit-for-bit), clamped to
+    [0.1, 1.0]; null/blank text -> 0.0.
+    """
+    txt = col
+    n = F.length(txt)
+    artifacts = n - F.length(F.regexp_replace(txt, "[�□○■]", ""))
+    # Java text.split("\\s+"): a leading separator yields a leading "" element
+    # but TRAILING empty strings are removed — Spark's split keeps them, so
+    # trailing whitespace is stripped first to replicate Java exactly
+    words = F.split(F.regexp_replace(txt, r"\s+$", ""), r"\s+")
+    n_words = F.size(words)
+    valid = F.size(F.filter(words, lambda w: w.rlike("^[a-zA-Z0-9]+$")))
+    vratio = F.when(n_words > 0, valid / n_words).otherwise(F.lit(0.0))
+    aratio = artifacts / n
+    email_full = txt.rlike(
+        rf"\A{_JAVA_DOT_NEG}*[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}{_JAVA_DOT_NEG}*\z"
+    )
+    conf = (
+        F.lit(0.5) + 0.4 * vratio - 10 * aratio
+        + F.when(txt.contains("@") & email_full, 0.1).otherwise(0.0)
+    )
+    clamped = F.greatest(F.lit(0.1), F.least(F.lit(1.0), conf))
+    return F.when(txt.isNull() | (F.trim(txt) == ""), F.lit(0.0)).otherwise(clamped)
+
+
 def _coalesce_patterns(col, patterns):
     """First-matching-pattern precedence (FieldParser iterates + breaks)."""
     return F.coalesce(*[_x(col, p) for p in patterns])
@@ -232,16 +269,30 @@ def extract_fields(df: DataFrame, text_col: str, prefix: str = "",
         F.when(col.isNotNull(), fc).otherwise(F.lit(0.0)) for col, _, fc in conf_terms
     )
     conf = F.when(cnt > 0, base * (csum / cnt)).otherwise(base)
+    # A5: OCR-confidence estimate over the (normalized) text; multiplied into
+    # extraction confidence only when the text source is OCR-derived
+    # (MultiFormatDocumentExtractor.java:30-62 — ocrConfidence stays 1.0 for
+    # born-digital text, which is what transcripts are)
+    out = out.withColumn(f"{p}ocr_confidence", ocr_confidence(t))
+    if cfg.ocr_text_mode:
+        conf = conf * F.col(f"{p}ocr_confidence")
     out = out.withColumn(f"{p}extraction_confidence", F.least(conf, F.lit(1.0)))
     return out
 
 
-def detect_entity_type(df: DataFrame, prefix: str = "") -> DataFrame:
+def detect_entity_type(
+    df: DataFrame, prefix: str = "", short_name_col: str | None = None
+) -> DataFrame:
     """G1/G2 — EntityTypeDetector (detection/EntityTypeDetector.java:65-200).
 
     Signals as column expressions; aggregation sum(conf)/sqrt(count) per type,
     argmax, <0.5 -> UNKNOWN. Only one STANDALONE signal exists, so its
     aggregate is 0.65 when present.
+
+    ``short_name_col`` enables the short-name signal (analyzeShortName,
+    EntityTypeDetector.java:155-165: FM/_FM/_FM_/-FM-/FUND suffix or MGMT
+    substring -> (MANAGED_FUND, 0.7)) — transcripts have no short name, but
+    catalog records do (raw_fields["short_name"], :90-92).
     """
     p = prefix
     name_l = F.lower(F.coalesce(F.col(f"{p}legal_name"), F.lit("")))
@@ -269,7 +320,15 @@ def detect_entity_type(df: DataFrame, prefix: str = "") -> DataFrame:
     )
     s_inst = F.when(contains_any(name_l, L.INSTITUTIONAL_INVESTOR_PATTERNS), F.lit(0.8))
 
-    mf_signals = F.array_compact(F.array(s_fm_field, s_name_mf, s_dom_known, s_dom_pat, s_inst))
+    mf_parts = [s_fm_field, s_name_mf, s_dom_known, s_dom_pat, s_inst]
+    if short_name_col is not None:
+        sn_u = F.upper(F.coalesce(F.col(short_name_col), F.lit("")))
+        sn_hit = (
+            sn_u.endswith("FM") | sn_u.endswith("_FM") | sn_u.contains("_FM_")
+            | sn_u.contains("-FM-") | sn_u.endswith("FUND") | sn_u.contains("MGMT")
+        )
+        mf_parts.append(F.when(F.col(short_name_col).isNotNull() & sn_hit, F.lit(0.7)))
+    mf_signals = F.array_compact(F.array(*mf_parts))
     mf_n = F.size(mf_signals)
     mf_score = F.when(
         mf_n > 0,

@@ -190,6 +190,40 @@ def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = No
     return k1.unionByName(k2).distinct()
 
 
+def cap_candidates_per_probe(pairs: DataFrame, config: MatchConfig | None = None) -> DataFrame:
+    """Per-probe cap on fuzzy-name candidates — the set-oriented analog of
+    ``LIMIT 100`` + the exact-full/exact-short ORDER BY tiering in
+    sql/findByName.sql:5-10.
+
+    Applies only to FUZZY_NAME-strategy pairs (identifier hits are exact and
+    uncapped in the reference too). Ordering: blocking-pass precedence first —
+    the ``cleanname`` pass IS an exact cleaned-short-name equality, so it
+    lands ahead of token/sorted-neighborhood candidates, mirroring the
+    reference's ``CASE WHEN exact THEN 1 WHEN exact-short THEN 2 ELSE 3`` —
+    then (block_key, conv_id_b) for determinism. The window partitions by
+    probe id, so no global sort: each probe's candidate list ranks
+    independently within its shuffle partition.
+    """
+    cfg = config or DEFAULT_CONFIG
+    n = getattr(cfg, "max_candidates_per_probe", 0)
+    if not n:
+        return pairs
+    rank_map = F.create_map(
+        *[F.lit(x) for name, (rank, _) in BLOCKING_PASSES.items() for x in (name, rank)]
+    )
+    is_fuzzy = F.col("strategy") == "FUZZY_NAME"
+    w = Window.partitionBy("conv_id_a").orderBy(
+        rank_map[F.col("pass")].asc(), F.col("block_key"), F.col("conv_id_b")
+    )
+    fuzzy = (
+        pairs.where(is_fuzzy)
+        .withColumn("_cand_rank", F.row_number().over(w))
+        .where(F.col("_cand_rank") <= n)
+        .drop("_cand_rank")
+    )
+    return pairs.where(~is_fuzzy).unionByName(fuzzy)
+
+
 def profile_block_keys(keys: DataFrame) -> DataFrame:
     """Key-frequency profile: (pass, key, n_records, n_pairs). Hot-key radar."""
     return keys.groupBy("pass", "key").agg(

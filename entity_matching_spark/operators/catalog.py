@@ -15,9 +15,10 @@ reference user can run the same lookups set-oriented:
   carries its own identifiers and surfaces as a separate match candidate.
 - ``match_records_to_catalog``: same blocking passes + the same S4 scoring
   kernel, but pairs are (probe conv_id, catalog entity) instead of unordered
-  conversation pairs. Catalog ids are namespaced "cat:<id>" so the probe
-  always sorts lexicographically into the 'extracted' role that scoring
-  assigns to conv_id_a ("cat:" > "conv" is false — see CAT_PREFIX note).
+  conversation pairs. After pair generation every cross pair is explicitly
+  REORIENTED so the probe is always conv_id_a (the reference's 'extracted'
+  role) and the catalog entity conv_id_b — role assignment never depends on
+  how probe conv_ids happen to sort against the catalog namespace prefix.
 
 Discrepancy I14 (ORPHANED_LOCATION_RECORD, DiscrepancyDetector.java:324-333)
 lives here because it only exists for catalogs with location rows.
@@ -29,9 +30,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT_CONFIG, MatchConfig
 
-# "conv..." < "zcat:..." lexicographically, so in score_pairs' orientation
-# (smaller id = the reference's 'extracted' probe role) the probe is always
-# side A and the catalog entity side B — matching the reference exactly.
+# Namespace prefix that keeps catalog ids disjoint from probe conv_ids in the
+# unioned record table (role orientation is handled explicitly in
+# match_records_to_catalog — it does NOT rely on this prefix's sort order).
 CAT_PREFIX = "zcat:"
 
 CATALOG_DDL = (
@@ -72,8 +73,12 @@ def catalog_to_records(catalog: DataFrame, config: MatchConfig | None = None) ->
         F.lit(None).cast("string").alias("taxform_mei"),
         F.lit(None).cast("string").alias("taxform_debt_domain_id"),
         F.lit(None).cast("string").alias("taxform_country_code"),
-        F.lit("UNKNOWN").alias("entity_type"),
     )
+    # G1 over catalog rows: name/domain signals + the short-name signal
+    # (analyzeShortName, EntityTypeDetector.java:90-92,155-165)
+    from .assemble import detect_entity_type
+
+    rec = detect_entity_type(rec, prefix="", short_name_col="short_name")
     rec = rec.withColumn("norm_legal_name", udfs["norm_name"]("legal_name"))
     rec = rec.withColumn(
         "norm_fund_manager",
@@ -101,15 +106,18 @@ def match_records_to_catalog(
     """Probe records vs catalog entities -> scored candidates.
 
     Reuses generate_blocking_keys + generate_pairs + score_pairs on the union
-    of both sides, then keeps only probe-vs-catalog pairs (probe-probe and
-    catalog-catalog pairs are dropped — the reference never compares two
-    probes; catalog-catalog similarity is the duplicate detector's job, J1-J3,
-    which `duplicate_flags` inside score_pairs already computes over the
-    unioned pair set, reproducing the -5 duplicate penalty against catalog
-    rows that share identifiers with other catalog rows).
+    of both sides. Only probe-vs-catalog pairs are scored (the reference never
+    compares two probes), each reoriented so the probe is conv_id_a and the
+    catalog entity conv_id_b — all side-asymmetric scoring (tax-form
+    validation, DBA split of the candidate name, email-domain boost from the
+    probe's domain) then runs with the reference's roles regardless of how
+    probe ids sort. The UNFILTERED pair set still feeds the J1-J3 duplicate
+    detector, so catalog rows sharing identifiers with other catalog rows
+    keep the -5 duplicate penalty (engine/DuplicateDetector.java runs over
+    the catalog, not the candidate list).
     """
     cfg = config or DEFAULT_CONFIG
-    from .blocking import generate_blocking_keys, generate_pairs
+    from .blocking import cap_candidates_per_probe, generate_blocking_keys, generate_pairs
     from .score import SIDE_COLS, score_pairs
 
     cat = catalog_to_records(catalog, cfg)
@@ -118,23 +126,34 @@ def match_records_to_catalog(
 
     keys = generate_blocking_keys(both, cfg)
     pairs, dropped = generate_pairs(keys, cfg)
-    cross = pairs.where(
-        F.col("conv_id_a").startswith(CAT_PREFIX) != F.col("conv_id_b").startswith(CAT_PREFIX)
+    is_cat_a = F.col("conv_id_a").startswith(CAT_PREFIX)
+    is_cat_b = F.col("conv_id_b").startswith(CAT_PREFIX)
+    cross = pairs.where(is_cat_a != is_cat_b).select(
+        # explicit role orientation: probe -> a, catalog -> b
+        F.when(is_cat_a, F.col("conv_id_b")).otherwise(F.col("conv_id_a")).alias("conv_id_a"),
+        F.when(is_cat_a, F.col("conv_id_a")).otherwise(F.col("conv_id_b")).alias("conv_id_b"),
+        "strategy", "pass", "block_key",
     )
-    scored = score_pairs(both, cross, cfg)
+    # per-probe candidate cap — the set-oriented LIMIT 100 of
+    # sql/findByName.sql:10, applied to fuzzy-name candidates only (identifier
+    # hits are exact and never capped in the reference either)
+    cross = cap_candidates_per_probe(cross, cfg)
+    scored = score_pairs(both, cross, cfg, dup_source_pairs=pairs)
     out = scored.withColumn(
         "entity_id",
         # try_cast: under ANSI mode a plain cast can be project-pushed below
         # the probe/catalog filter and evaluated on rows the filter drops
         F.regexp_replace("conv_id_b", f"^{CAT_PREFIX}", "").try_cast("bigint"),
     ).withColumnRenamed("conv_id_a", "probe_conv_id")
-    # I14 — ORPHANED_LOCATION_RECORD (DiscrepancyDetector.java:324-333)
+    # I14 — ORPHANED_LOCATION_RECORD (DiscrepancyDetector.java:324-333).
+    # No broadcast hint: this projection scales with the catalog (data-sized);
+    # AQE broadcasts it automatically whenever it is genuinely small.
     loc = catalog.select(
         "entity_id",
         ((F.coalesce("record_type", F.lit("MAIN")) == "LOCATION")
          & F.col("parent_customer_id").isNull()).alias("is_orphan_location"),
     )
-    out = out.join(F.broadcast(loc), "entity_id", "left")
+    out = out.join(loc, "entity_id", "left")
     orphan = F.struct(F.lit("ORPHANED_LOCATION_RECORD").alias("type"),
                       F.lit("MEDIUM").alias("severity"))
     out = out.withColumn(

@@ -23,19 +23,32 @@ from pyspark.sql import DataFrame
 
 FEATURE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
+    "byte_sum bigint, byte_min int, byte_max int, "
     "byte_mean double, byte_std double, head_hex string, feature array<double>"
 )
 
 
 def _fake_decode_stats(payload: bytes | None) -> dict:
-    """Deterministic byte-stat features (the stand-in decoder)."""
+    """Deterministic byte-stat features (the stand-in decoder).
+
+    byte_sum/byte_min/byte_max are exact integers so downstream comparisons
+    (and the driver's cross-engine value hash) never depend on float
+    summation order; byte_mean/byte_std/feature are the float feature path a
+    real decoder would produce.
+    """
     import numpy as np
 
     if payload is None or len(payload) == 0:
-        return {"byte_mean": 0.0, "byte_std": 0.0, "head_hex": "", "feature": [0.0] * 4}
+        return {
+            "byte_sum": 0, "byte_min": 0, "byte_max": 0,
+            "byte_mean": 0.0, "byte_std": 0.0, "head_hex": "", "feature": [0.0] * 4,
+        }
     arr = np.frombuffer(payload, dtype=np.uint8)
     q = np.quantile(arr, [0.25, 0.5, 0.75]).tolist()
     return {
+        "byte_sum": int(arr.sum(dtype=np.int64)),
+        "byte_min": int(arr.min()),
+        "byte_max": int(arr.max()),
         "byte_mean": float(arr.mean()),
         "byte_std": float(arr.std()),
         "head_hex": payload[:8].hex(),
@@ -65,6 +78,9 @@ def extract_binary_features(
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf["n_bytes"],
+                "byte_sum": feats.map(lambda f: f["byte_sum"]),
+                "byte_min": feats.map(lambda f: f["byte_min"]),
+                "byte_max": feats.map(lambda f: f["byte_max"]),
                 "byte_mean": feats.map(lambda f: f["byte_mean"]),
                 "byte_std": feats.map(lambda f: f["byte_std"]),
                 "head_hex": feats.map(lambda f: f["head_hex"]),

@@ -234,12 +234,25 @@ def duplicate_flags(records: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def score_pairs(
-    records: DataFrame, pairs: DataFrame, config: MatchConfig | None = None
+    records: DataFrame,
+    pairs: DataFrame,
+    config: MatchConfig | None = None,
+    dup_source_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Full S4: candidate pairs -> scored pairs with discrepancies + decision."""
+    """Full S4: candidate pairs -> scored pairs with discrepancies + decision.
+
+    ``dup_source_pairs`` optionally widens the pair set the J1-J3 duplicate
+    detector sees beyond the pairs being scored — catalog mode passes the
+    UNFILTERED pair universe (incl. catalog-catalog edges) so catalog-internal
+    duplicates still trigger the -5 penalty even though only probe-catalog
+    pairs are scored (engine/DuplicateDetector.java runs over the catalog,
+    not over the probe's candidate list).
+    """
     cfg = config or DEFAULT_CONFIG
     a, b = _prepare_sides(records)
-    dup = duplicate_flags(records, pairs)
+    dup = duplicate_flags(
+        records, pairs if dup_source_pairs is None else dup_source_pairs
+    )
 
     df = (
         pairs.join(a, "conv_id_a")
@@ -279,12 +292,19 @@ def score_pairs(
     )
 
     # --- identifier components (IdentifierMatcher.java:26-141) --------------
-    mei_eq = F.col("mei_a").isNotNull() & (F.col("mei_a") == F.col("mei_b"))
-    lei_eq = F.col("lei_a").isNotNull() & (F.col("lei_a") == F.col("lei_b"))
-    ein_eq = F.col("ein_nohyphen_a").isNotNull() & (F.col("ein_nohyphen_a") == F.col("ein_nohyphen_b"))
-    dd_eq = F.col("debt_domain_id_a").isNotNull() & (
-        F.col("debt_domain_id_a") == F.col("debt_domain_id_b")
-    )
+    # Both sides must be null-checked BEFORE the equality: `a IS NOT NULL AND
+    # a = b` is SQL NULL (not false) when b is null, and a NULL leaking into
+    # the id_count integer arithmetic silently nulls the whole sum — the
+    # multi-id bonus then evaluates 0 for every pair with any one-sided
+    # identifier (caught by the em_catalog_match cross-engine oracle).
+    def _eq(ca: str, cb: str) -> F.Column:
+        a_, b_ = F.col(ca), F.col(cb)
+        return a_.isNotNull() & b_.isNotNull() & (a_ == b_)
+
+    mei_eq = _eq("mei_a", "mei_b")
+    lei_eq = _eq("lei_a", "lei_b")
+    ein_eq = _eq("ein_nohyphen_a", "ein_nohyphen_b")
+    dd_eq = _eq("debt_domain_id_a", "debt_domain_id_b")
     df = (
         df.withColumn("mei_eq", mei_eq).withColumn("lei_eq", lei_eq)
         .withColumn("ein_eq", ein_eq).withColumn("dd_eq", dd_eq)

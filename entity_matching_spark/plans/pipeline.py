@@ -14,11 +14,18 @@ One linear DAG, each stage a checkpointed table:
 `run_pipeline` is resumable: pass the same ``work_dir`` and completed stages
 (matching config hash + upstream chain) are read back instead of recomputed —
 kill the job after S3 and the rerun starts at S4 (pinned by
-tests/test_pipeline.py::test_resume_after_pairs).
+tests/test_pipeline.py::test_resume_after_pairs). The upstream chain is a
+REAL fingerprint: each stage's recorded upstream_hash is derived from the
+upstream stages' manifests (params_hash + output_rows + schema), so
+re-running any upstream stage with different output invalidates everything
+downstream. Callers with a changing input under a fixed work_dir should pass
+``input_fingerprint`` (e.g. an Iceberg snapshot id) so S1 itself re-runs.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -60,19 +67,38 @@ def run_pipeline(
     work_dir: str,
     config: MatchConfig | None = None,
     resume: bool = True,
+    input_fingerprint: str = "",
 ) -> PipelineResult:
     cfg = config or DEFAULT_CONFIG
     ck = StageCheckpointer(work_dir, run_id=cfg.params_hash())
     h = cfg.params_hash()
+    # per-stage output fingerprints; each stage's upstream_hash chains them so
+    # a changed upstream output invalidates every downstream checkpoint
+    fps: dict[str, str] = {"input": input_fingerprint}
 
-    def stage(name: str, upstream: str, build):
-        if resume and ck.is_complete(name, h, upstream):
-            return ck.read(spark, name)
-        df = build()
-        ck.write(name, df, h, upstream)
-        return ck.read(spark, name)
+    def _fingerprint(manifest: dict) -> str:
+        payload = json.dumps(
+            {
+                "params": manifest.get("params_hash"),
+                "rows": manifest.get("output_rows"),
+                "schema": manifest.get("schema"),
+            },
+            sort_keys=True,
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:12]
 
-    records = stage("s1_records", "", lambda: build_records(transcripts, cfg))
+    def _upstream(upstreams: list[str]) -> str:
+        return "+".join(f"{u}:{fps[u]}" for u in upstreams)
+
+    def stage(name: str, upstreams: list[str], build):
+        up = _upstream(upstreams)
+        if not (resume and ck.is_complete(name, h, up)):
+            ck.write(name, build(), h, up)
+        df = ck.read(spark, name)
+        fps[name] = _fingerprint(ck.manifest(name))
+        return df
+
+    records = stage("s1_records", ["input"], lambda: build_records(transcripts, cfg))
 
     # L3 analog (orchestrator per-doc error isolation, EntityMatchingOrchestrator
     # .java:140-145): extraction is null-safe so nothing throws; records with NO
@@ -84,26 +110,39 @@ def run_pipeline(
     for c in signal_cols:
         cond = F.col(c).isNull()
         no_signal = cond if no_signal is None else (no_signal & cond)
-    quarantine = stage("s1_quarantine", "s1", lambda: records.where(no_signal))
+    quarantine = stage("s1_quarantine", ["s1_records"], lambda: records.where(no_signal))
     records = records.where(~no_signal)
 
     def build_pairs():
         keys = generate_blocking_keys(records, cfg)
         pairs, dropped = generate_pairs(keys, cfg)
         # dropped hot keys are surfaced, never silently discarded
-        ck.write("s2_dropped_keys", dropped, h, "s1")
+        ck.write("s2_dropped_keys", dropped, h, _upstream(["s1_records"]))
         return pairs
 
-    pairs = stage("s3_pairs", "s1", build_pairs)
+    pairs = stage("s3_pairs", ["s1_records"], build_pairs)
     scored = stage(
-        "s4_scored", "s1+s3",
+        "s4_scored", ["s1_records", "s3_pairs"],
         lambda: score_pairs(records, pairs, cfg).select(*SCORED_COLS),
     )
-    components = stage(
-        "s6_components", "s4", lambda: connected_components(match_edges(scored), cfg)
-    )
+
+    def build_components():
+        edges = match_edges(scored)
+        if cfg.include_duplicate_edges:
+            # union the J1/J2 exact-key duplicate edges (identifier equality +
+            # cleaned-short-name equality, engine/DuplicateDetector.java:32-84)
+            # into the clustering edge set, so exact duplicates cluster even
+            # when their pairwise score lands below the MATCH threshold
+            dup_edges = pairs.where(
+                F.col("pass").isin("mei", "lei", "ein", "cleanname")
+            ).select("conv_id_a", "conv_id_b")
+            edges = edges.unionByName(dup_edges).distinct()
+        return connected_components(edges, cfg)
+
+    # s3_pairs is an explicit upstream: the duplicate-edge union reads it
+    components = stage("s6_components", ["s3_pairs", "s4_scored"], build_components)
     clusters = stage(
-        "s7_clusters", "s1+s6",
+        "s7_clusters", ["s1_records", "s6_components"],
         lambda: assign_clusters(records.select("conv_id"), components),
     )
 

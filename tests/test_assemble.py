@@ -190,3 +190,62 @@ class TestNativeNormalization:
         # \t is in the reference's stripped control range (quirk noted in
         # normalize.py D1): deleted, not collapsed to a space
         assert got[2]["out"] == "tabhere\nline two"
+
+
+class TestOcrConfidence:
+    """A5 — OCRProcessor.estimateConfidence (OCRProcessor.java:93-124) as
+    native columns; golden values hand-computed from the Java arithmetic."""
+
+    def _run(self, spark, texts):
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.operators.assemble import ocr_confidence
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        return [
+            r["c"]
+            for r in df.select(F.round(ocr_confidence(F.col("text")), 6).alias("c")).collect()
+        ]
+
+    def test_golden_values(self, spark):
+        got = self._run(spark, [
+            "Hello World 123",          # 3/3 valid words -> 0.5 + 0.4
+            "contact a@b.co now",       # 2/3 valid + email bonus (single line)
+            "hi\ncontact a@b.co",       # newline defeats .*email.* full-match
+            None,                       # null -> 0.0
+            "   ",                      # blank -> 0.0
+            " abc",                     # Java leading-"" quirk: 1/2 valid
+            "abc ",                     # Java trailing empties removed: 1/1
+        ])
+        assert got[0] == 0.9
+        assert got[1] == round(0.5 + 0.4 * 2 / 3 + 0.1, 6)
+        assert got[2] == round(0.5 + 0.4 * 2 / 3, 6)
+        assert got[3] == 0.0
+        assert got[4] == 0.0
+        assert got[5] == 0.7
+        assert got[6] == 0.9
+
+    def test_artifacts_clamp_to_floor(self, spark):
+        # "ab ?? cd" with 2 artifact chars: ratio 2/8 -> -2.5 dominates -> 0.1
+        got = self._run(spark, ["ab □□ cd"])
+        assert got[0] == 0.1
+
+    def test_wired_into_extraction_confidence(self, spark):
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.config import MatchConfig
+        from entity_matching_spark.operators.assemble import extract_fields
+
+        df = spark.createDataFrame(
+            [("MEI: US12345678 Legal Name: Acme Fund LLC □□□□",)],
+            "norm_text string",
+        )
+        base = extract_fields(df, "norm_text", config=MatchConfig()).collect()[0]
+        ocr = extract_fields(
+            df, "norm_text", config=MatchConfig(ocr_text_mode=True)
+        ).collect()[0]
+        assert 0.0 < base["ocr_confidence"] < 1.0
+        assert abs(
+            ocr["extraction_confidence"]
+            - base["extraction_confidence"] * base["ocr_confidence"]
+        ) < 1e-9

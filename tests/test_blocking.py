@@ -137,3 +137,34 @@ class TestSortedNeighborhood:
                 hits += 1
         assert total > 50
         assert hits / total >= 0.85
+
+
+class TestCandidateCap:
+    def test_per_probe_fuzzy_cap(self, spark):
+        """cap_candidates_per_probe — the LIMIT-100 analog of
+        sql/findByName.sql:5-10: fuzzy candidates capped per probe with
+        cleanname (exact cleaned-name equality) ranked ahead of nametok;
+        identifier pairs are never capped."""
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.config import MatchConfig
+        from entity_matching_spark.operators.blocking import cap_candidates_per_probe
+
+        rows = (
+            [("p1", f"c{i:04d}", "FUZZY_NAME", "nametok", f"nametok:t{i}") for i in range(150)]
+            + [("p1", f"x{i:04d}", "FUZZY_NAME", "cleanname", "cleanname:k") for i in range(3)]
+            + [("p1", f"i{i:04d}", "IDENTIFIER", "mei", "mei:US1") for i in range(120)]
+        )
+        pairs = spark.createDataFrame(
+            rows, "conv_id_a string, conv_id_b string, strategy string, pass string, block_key string"
+        )
+        capped = cap_candidates_per_probe(pairs, MatchConfig(max_candidates_per_probe=100))
+        got = capped.groupBy("strategy").agg(F.count("*").alias("n")).collect()
+        by = {r["strategy"]: r["n"] for r in got}
+        assert by["IDENTIFIER"] == 120   # uncapped
+        assert by["FUZZY_NAME"] == 100   # capped
+        # all 3 cleanname (exact-tier) candidates survive the cap
+        kept_clean = capped.where(F.col("pass") == "cleanname").count()
+        assert kept_clean == 3
+        # cap disabled -> passthrough
+        assert cap_candidates_per_probe(pairs, MatchConfig(max_candidates_per_probe=0)).count() == len(rows)

@@ -90,3 +90,48 @@ class TestCatalogMatching:
     def test_find_by_id(self, spark):
         got = find_by_id(_catalog_df(spark), 1).collect()
         assert len(got) == 1 and got[0]["full_name"] == "Test Corp"
+
+
+class TestCatalogRound2:
+    def test_short_name_type_signal(self, spark):
+        """G1 analyzeShortName (EntityTypeDetector.java:155-165): FM/FUND/MGMT
+        markers in short_name -> MANAGED_FUND at 0.7; neutral rows stay
+        UNKNOWN (catalog types must not be constant)."""
+        import datetime
+
+        rows = [
+            (10, "Quiet Timber Works", "ACMEFM", None, None, None, None, None,
+             None, "US", None, None, "MAIN", None, datetime.datetime(2026, 1, 1)),
+            (11, "Quiet Timber Works", "ZX_MGMT_1", None, None, None, None, None,
+             None, "US", None, None, "MAIN", None, datetime.datetime(2026, 1, 1)),
+            (12, "Quiet Timber Works", "PLAINCO", None, None, None, None, None,
+             None, "US", None, None, "MAIN", None, datetime.datetime(2026, 1, 1)),
+        ]
+        rec = catalog_to_records(spark.createDataFrame(rows, CATALOG_DDL))
+        got = {r["entity_id"]: r["entity_type"] for r in rec.collect()}
+        assert got[10] == "MANAGED_FUND"  # short name ends FM -> 0.7 signal
+        assert got[11] == "MANAGED_FUND"  # MGMT substring
+        assert got[12] == "UNKNOWN"
+
+    def test_orientation_independent_of_id_sort(self, spark):
+        """ADVICE fix: a probe whose conv_id sorts AFTER the catalog prefix
+        ('zz...' > 'zcat:') must still land in the probe role (conv_id_a),
+        with entity_id parsed from the catalog side."""
+        probe = _probe_df(spark).withColumn(
+            "conv_id", F.lit("zz_probe_after_zcat")
+        )
+        scored = match_records_to_catalog(probe, _catalog_df(spark))
+        rows = scored.collect()
+        assert rows, "expected candidates"
+        for r in rows:
+            assert r["probe_conv_id"] == "zz_probe_after_zcat"
+            assert r["entity_id"] in (1, 2, 3, 4)
+
+    def test_catalog_internal_duplicates_penalized(self, spark):
+        """ADVICE fix: catalog rows 1 and 2 share MEI/LEI/EIN (J1 duplicate
+        within the catalog) — the -5 dup penalty must fire for them even
+        though catalog-catalog pairs are never scored."""
+        scored = match_records_to_catalog(_probe_df(spark), _catalog_df(spark))
+        got = {r["entity_id"]: r for r in scored.collect()}
+        assert got[1]["dup_penalty"] == 5.0
+        assert got[2]["dup_penalty"] == 5.0

@@ -97,3 +97,63 @@ class TestPipelineResume:
                 "s4_scored", "s6_components", "s7_clusters"} <= stages
         for m in r.metrics:
             assert m["wall_ms"] >= 0 and "partitions" in m
+
+
+class TestPipelineRound2:
+    def test_upstream_fingerprint_chains(self, spark, small_transcripts, tmp_path):
+        """The recorded upstream_hash is a REAL fingerprint of the upstream
+        manifests: tampering with s1's manifest invalidates s3+ on resume."""
+        wd = str(tmp_path / "run5")
+        run_pipeline(spark, small_transcripts, wd, MatchConfig())
+        s3_manifest = os.path.join(wd, "s3_pairs_manifest.json")
+        with open(s3_manifest) as f:
+            up_before = json.load(f)["upstream_hash"]
+        assert "s1_records:" in up_before and len(up_before.split(":")[1]) >= 12
+
+        # simulate a changed upstream output (same config, different rows)
+        s1_manifest = os.path.join(wd, "s1_records_manifest.json")
+        with open(s1_manifest) as f:
+            m = json.load(f)
+        m["output_rows"] += 1
+        with open(s1_manifest, "w") as f:
+            json.dump(m, f)
+
+        t3 = os.path.getmtime(s3_manifest)
+        run_pipeline(spark, small_transcripts, wd, MatchConfig())
+        assert os.path.getmtime(s3_manifest) > t3, "s3 must recompute"
+        with open(s3_manifest) as f:
+            assert json.load(f)["upstream_hash"] != up_before
+
+    def test_input_fingerprint_invalidates_s1(self, spark, small_transcripts, tmp_path):
+        wd = str(tmp_path / "run6")
+        run_pipeline(spark, small_transcripts, wd, MatchConfig(), input_fingerprint="snap1")
+        s1_manifest = os.path.join(wd, "s1_records_manifest.json")
+        t1 = os.path.getmtime(s1_manifest)
+        run_pipeline(spark, small_transcripts, wd, MatchConfig(), input_fingerprint="snap1")
+        assert os.path.getmtime(s1_manifest) == t1, "same snapshot: reuse"
+        run_pipeline(spark, small_transcripts, wd, MatchConfig(), input_fingerprint="snap2")
+        assert os.path.getmtime(s1_manifest) > t1, "new snapshot: recompute"
+
+    def test_include_duplicate_edges(self, spark, tmp_path):
+        """J1 exact-identifier edges reach clustering only when the flag is
+        on: two records sharing an MEI but with unrelated names score below
+        MATCH, so only include_duplicate_edges=True clusters them."""
+        rows = [
+            ("convA", 0, "user", "Legal Name: Alpha Timber LLC\nMEI: US00000001", None),
+            ("convB", 0, "user", "Legal Name: Zebra Granite Corp\nMEI: US00000001", None),
+        ]
+        import datetime
+
+        t = spark.createDataFrame(
+            [(c, i, r, x, tool, datetime.datetime(2026, 1, 1)) for c, i, r, x, tool in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        base = MatchConfig(blocking_passes=("mei", "cleanname"))
+        r_off = run_pipeline(spark, t, str(tmp_path / "dup_off"), base)
+        c_off = {r["conv_id"]: r["cluster_id"] for r in r_off.clusters.collect()}
+        assert c_off["convA"] != c_off["convB"]
+
+        cfg_on = MatchConfig(blocking_passes=("mei", "cleanname"), include_duplicate_edges=True)
+        r_on = run_pipeline(spark, t, str(tmp_path / "dup_on"), cfg_on)
+        c_on = {r["conv_id"]: r["cluster_id"] for r in r_on.clusters.collect()}
+        assert c_on["convA"] == c_on["convB"]
