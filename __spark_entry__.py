@@ -694,13 +694,11 @@ def _sql_connected_components(sf: str) -> str:
 # ===========================================================================
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup — hash-groupBy on md5(text), canonical = min doc_id."""
-    d = _read(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
-        .orderBy("text_hash")
-    )
+    """Exact dedup (operators/dedup.exact_duplicates) — hash-groupBy on
+    md5(text), canonical = min doc_id."""
+    from entity_matching_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_read(spark, sf_dir, "documents")).orderBy("text_hash")
 
 
 def _sql_dedup_exact(sf: str) -> str:
@@ -723,35 +721,15 @@ _TOKEN_DF_CAP = 50
 
 
 def q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram/token Jaccard near-dup — df-capped inverted-index candidate
-    generation (blocked by `source`), then exact Jaccard over the full
-    distinct-token sets; threshold 0.5."""
-    d = _read(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).where(F.col("tok") != "")
-    # candidate generation only over sub-cap tokens (no broadcast hint: the
-    # token-df table scales with the vocabulary; AQE decides)
-    dfreq = toks.groupBy("source", "tok").agg(F.count("*").alias("df"))
-    rare = toks.join(dfreq.where(F.col("df") <= _TOKEN_DF_CAP), ["source", "tok"])
-    a = rare.select(F.col("doc_id").alias("doc_a"), "source", "tok")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "source", "tok")
-    cand = (
-        a.join(b, ["source", "tok"]).where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+    """N-gram/token Jaccard near-dup (operators/dedup.token_jaccard_pairs) —
+    df-capped inverted-index candidate generation (blocked by `source`),
+    then exact Jaccard over the full distinct-token sets; threshold 0.5."""
+    from entity_matching_spark.operators.dedup import token_jaccard_pairs
+
+    pairs, _dropped = token_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5, df_cap=_TOKEN_DF_CAP
     )
-    # exact Jaccard for candidates from the FULL token sets
-    sets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("tok")).alias("arr"))
-    j = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.size("arr_a") + F.size("arr_b") - F.col("inter")), 9),
-        )
-    )
-    return j.where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def _sql_dedup_token_jaccard(sf: str) -> str:
@@ -790,39 +768,16 @@ _MINHASH_BANDS = 4  # rows per band r = 2
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH — k=8 md5-based minhashes over distinct tokens, banded
-    r=2 into 4 buckets; emits candidate pairs sharing a band bucket. The
-    md5-derived hash family is engine-independent, so DuckDB reproduces the
-    exact signatures."""
-    d = _read(spark, sf_dir, "documents")
-    # 3-token shingles: slice the token array at every start position —
-    # word-level shingling keeps the hash family discriminative (single
-    # tokens share a tiny vocabulary and collide into useless mega-buckets)
-    arr = F.filter(F.split("text", " "), lambda t: t != "")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(arr) - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
-        )
-    )
-    toks = d.select("doc_id", F.explode(shingles).alias("tok"))
-    h = toks.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("i"),
-        F.col("tok"),
-    ).select(
-        "doc_id", "i",
-        F.substring(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), "tok")), 1, 12).alias("hv"),
-    )
-    sig = h.groupBy("doc_id", "i").agg(F.min("hv").alias("mh"))
-    band = sig.withColumn("band", (F.col("i") / 2).cast("int")).groupBy("doc_id", "band").agg(
-        F.concat_ws("_", F.sort_array(F.collect_list(F.concat_ws(":", F.col("i").cast("string"), "mh")))).alias("bucket")
-    )
-    a = band.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = band.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "band").distinct().orderBy("doc_a", "doc_b", "band")
-    )
+    """MinHash+LSH (operators/dedup.minhash_lsh_pairs) — k=8 md5-based
+    minhashes over 3-word shingles, banded r=2 into 4 buckets; emits
+    candidate pairs sharing a band bucket. The md5-derived hash family is
+    engine-independent, so DuckDB reproduces the exact signatures."""
+    from entity_matching_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K, rows_per_band=2, shingle=3,
+    ).orderBy("doc_a", "doc_b", "band")
 
 
 def _sql_dedup_minhash_lsh(sf: str) -> str:
@@ -854,28 +809,13 @@ def _sql_dedup_minhash_lsh(sf: str) -> str:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash — 32-bit signature from md5-derived per-token bit vectors,
-    native Spark bit arithmetic (conv + shiftright). DuckDB reproduces the
-    exact signatures via the '0x'||hex -> BIGINT cast (the md5 hash family is
-    engine-independent)."""
-    d = _read(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).where(F.col("tok") != "")
-    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    bits = toks.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), hv.alias("hv")
-    ).select(
-        "doc_id", "bit",
-        (F.expr("shiftright(hv, bit) & 1") * 2 - 1).alias("contrib"),
-    )
-    sig = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s")).select(
-        "doc_id", "bit", (F.col("s") > 0).cast("long").alias("b")
-    )
-    sim = sig.groupBy("doc_id").agg(
-        F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash")
-    )
-    return sim.orderBy("doc_id")
+    """SimHash (operators/dedup.simhash_signatures) — 32-bit signature from
+    md5-derived per-token bit vectors, native Spark bit arithmetic (conv +
+    shiftright). DuckDB reproduces the exact signatures via the '0x'||hex ->
+    BIGINT cast (the md5 hash family is engine-independent)."""
+    from entity_matching_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def _sql_dedup_simhash(sf: str) -> str:
@@ -900,14 +840,12 @@ def _sql_dedup_simhash(sf: str) -> str:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting — winnowing-style: min md5 over 16-char
-    windows sampled every 8 chars (rolling-hash analog, engine-portable)."""
-    d = _read(spark, sf_dir, "documents")
-    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 15, F.lit(1)), F.lit(8)))
-    w = d.select("doc_id", "text", pos.alias("p")).select(
-        "doc_id", F.md5(F.substring(F.col("text"), F.col("p"), 16)).alias("h")
-    )
-    return w.groupBy("doc_id").agg(F.min("h").alias("fingerprint")).orderBy("doc_id")
+    """Document fingerprinting (operators/dedup.fingerprints) — winnowing-
+    style: min md5 over 16-char windows sampled every 8 chars (rolling-hash
+    analog, engine-portable)."""
+    from entity_matching_spark.operators.dedup import fingerprints
+
+    return fingerprints(_read(spark, sf_dir, "documents"), window=16, stride=8).orderBy("doc_id")
 
 
 def _sql_fingerprint(sf: str) -> str:
@@ -1055,6 +993,35 @@ def _sql_ann_ivf_search(sf: str) -> str:
     """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (operators/dedup.embedding_near_dup_pairs):
+    IVF-cell-blocked candidate pairs, exact cosine, threshold 0.35 (the
+    synthetic embeddings are near-random — max pairwise cosine 0.51 — so a
+    production-style 0.9 threshold would be vacuously empty; the threshold
+    is the operator's parameter, the blocking shape is what's under test)."""
+    from entity_matching_spark.operators.dedup import embedding_near_dup_pairs
+
+    e, cents, _ = _ann_parts(spark, sf_dir)
+    return embedding_near_dup_pairs(e, cents, threshold=0.35).orderBy("vec_a", "vec_b")
+
+
+def _sql_dedup_embedding(sf: str) -> str:
+    return f"""
+    WITH cents AS ({_SQL_ANN_CENTS}),
+    assign AS ({_SQL_ANN_ASSIGN}),
+    v AS (
+      SELECT e.vec_id, centroid_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings e JOIN assign USING (vec_id)
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.emb, b.emb), 9) AS cos
+      FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35 ORDER BY vec_a, vec_b
+    """
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the IVF search against the brute-force exact baseline,
     per probe (operators/ann.ivf_recall) — the quality gate that makes the
@@ -1104,14 +1071,11 @@ def _sql_ann_ivf_recall(sf: str) -> str:
 # ===========================================================================
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting — whitespace tokens + BPE-ish subword-regex count."""
-    d = _read(spark, sf_dir, "documents")
-    ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
-    bpe = F.size(F.regexp_extract_all("text", F.lit(r"([A-Za-z]{1,4}|\d+|[^\sA-Za-z\d])"), 1))
-    return d.select(
-        "doc_id", F.length("text").alias("n_chars"),
-        ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
-    ).orderBy("doc_id")
+    """Token counting (operators/text.token_stats) — whitespace tokens +
+    BPE-ish subword-regex count."""
+    from entity_matching_spark.operators.text import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def _sql_token_stats(sf: str) -> str:
@@ -1127,22 +1091,13 @@ _STOPWORDS = ["the", "a", "and", "of", "in", "to", "is", "on", "for", "with"]
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring — length/punctuation/stopword ratios combined into a
-    [0,1] heuristic (training-data filtering primitive)."""
-    d = _read(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
-    len_score = F.least(F.length("text") / 500.0, F.lit(1.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
-    punct_ratio = F.when(F.length("text") > 0, n_punct / F.length("text")).otherwise(0.0)
-    q = F.round(0.5 * len_score + 0.4 * F.least(stop_ratio * 4, F.lit(1.0))
-                + 0.1 * (1 - F.least(punct_ratio * 10, F.lit(1.0))), 9)
-    return d.select(
-        "doc_id", n_tok.alias("n_tokens"), n_stop.alias("n_stopwords"),
-        n_punct.alias("n_punct"), q.alias("quality"),
+    """Quality scoring (operators/text.quality_scores) — length/punctuation/
+    stopword ratios combined into a [0,1] heuristic (training-data filtering
+    primitive)."""
+    from entity_matching_spark.operators.text import quality_scores
+
+    return quality_scores(
+        _read(spark, sf_dir, "documents"), stopwords=tuple(_STOPWORDS)
     ).orderBy("doc_id")
 
 
@@ -1179,24 +1134,17 @@ _LANG_MARKERS = {
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID — stopword-marker voting (n-gram heuristic family);
-    argmax with deterministic tie-break on language code."""
-    d = _read(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-    scores = []
-    for lang, markers in sorted(_LANG_MARKERS.items()):
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # argmax by (hits, lang) — max struct comparison; tie-break: LAST lang in
-    # order wins under max(); invert via hits desc then lang asc using sort
-    best = F.sort_array(F.array(*scores), asc=False)[0]
-    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
-    return d.select("doc_id", "lang", pred.alias("pred_lang")).orderBy("doc_id")
+    """Language ID (operators/text.language_id) — stopword-marker voting
+    (n-gram heuristic family); argmax with deterministic tie-break on
+    language code. The corpus's true `lang` column rides along for eyeball
+    accuracy checks."""
+    from entity_matching_spark.operators.text import language_id
+
+    return language_id(
+        _read(spark, sf_dir, "documents"),
+        markers={k: tuple(v) for k, v in _LANG_MARKERS.items()},
+        keep_cols=("lang",),
+    ).orderBy("doc_id")
 
 
 def _sql_lang_id(sf: str) -> str:
@@ -1484,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "em_catalog_match": q_catalog_match,
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1520,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_jaccard": _sql_dedup_token_jaccard(sf),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(sf),
         "dedup_simhash": _sql_dedup_simhash(sf),
+        "dedup_embedding": _sql_dedup_embedding(sf),
         "doc_fingerprint": _sql_fingerprint(sf),
         "multimodal_features": _sql_multimodal_features(sf),
         "ann_cosine_topk": _sql_ann_cosine_topk(sf),

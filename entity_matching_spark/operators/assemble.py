@@ -101,7 +101,11 @@ def assemble_conversations(transcripts: DataFrame, config: MatchConfig | None = 
     Returns (conv_id, turns, text, tax_text, n_turns). ``turns`` is kept so the
     per-turn equality invariant (E2) is checkable by exploding.
     """
-    turn_struct = F.struct("turn_idx", "text", "role", "tool", "ts")
+    # Only (turn_idx, text, tool) ride the collect_list shuffle — role/ts are
+    # never read downstream, and this aggregation is the pipeline's biggest
+    # shuffle, so every dropped byte is paid once per turn. Sort order stays
+    # (turn_idx, then text for duplicate-idx ties): identical concat output.
+    turn_struct = F.struct("turn_idx", "text", "tool")
     grouped = transcripts.groupBy("conv_id").agg(
         F.array_sort(F.collect_list(turn_struct)).alias("turns")
     )

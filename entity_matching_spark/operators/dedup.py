@@ -1,0 +1,202 @@
+"""Corpus deduplication operators (training-data pipeline family).
+
+Four scale-graded strategies over a document table ``(doc_id, text, ...)``:
+
+- ``exact_duplicates``: md5 hash-groupBy — one shuffle on the hash, perfectly
+  partitionable; the always-first pass at any scale.
+- ``token_jaccard_pairs``: near-dup via inverted-index candidates + exact
+  Jaccard. The candidate self-join is DF-CAPPED: tokens present in more than
+  ``df_cap`` documents (per blocking column) are stopword-grade — they add
+  quadratic hot keys and no discrimination — so candidates must share at
+  least one sub-cap token. The Jaccard itself is then computed EXACTLY over
+  the full token sets (array_intersect), so the cap affects candidate recall
+  only, never the reported similarity; pairs whose every shared token is
+  over-cap are the only losses (stopword soup, not near-duplicates). Dropped
+  tokens are RETURNED, never silently discarded — the same discipline as
+  blocking.generate_pairs' max_block_size.
+- ``minhash_lsh_pairs``: MinHash signatures over word shingles, banded LSH —
+  the sub-quadratic path for corpus-vs-corpus near-dup at 100 TB. The
+  md5-derived hash family is engine-independent (DuckDB reproduces the exact
+  signatures in the driver oracle).
+- ``simhash_signatures``: 32-bit SimHash per document via native bit
+  arithmetic — Hamming-distance bucketing for fuzzy near-dup, no Python.
+
+Plus ``fingerprints``: winnowing-style document fingerprint (min hash over
+strided character windows) for container-level dedup and provenance.
+
+No reference analog (graft-brief requirement beyond fmateoc/entity-matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str, extra: list[str]) -> DataFrame:
+    return docs.select(
+        id_col, *extra, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    ).where(F.col("tok") != "")
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_hash, canonical_doc, n_copies) — canonical = min id per hash."""
+    return (
+        docs.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(F.min(id_col).alias("canonical_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate pairs by token Jaccard.
+
+    Returns ``(pairs, dropped_tokens)``: pairs is (doc_a, doc_b, jaccard >=
+    threshold); dropped_tokens is the over-cap token profile
+    (block, tok, df) the candidate join ignored.
+    """
+    toks = _tokens(docs, id_col, text_col, [block_col])
+    # No broadcast hint on the df table: the vocabulary scales with the data;
+    # AQE broadcasts it when genuinely small.
+    dfreq = toks.groupBy(block_col, "tok").agg(F.count("*").alias("df"))
+    dropped = dfreq.where(F.col("df") > df_cap)
+    rare = toks.join(dfreq.where(F.col("df") <= df_cap), [block_col, "tok"])
+    a = rare.select(F.col(id_col).alias("doc_a"), block_col, "tok")
+    b = rare.select(F.col(id_col).alias("doc_b"), block_col, "tok")
+    cand = (
+        a.join(b, [block_col, "tok"]).where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    sets = toks.groupBy(id_col).agg(F.sort_array(F.collect_set("tok")).alias("arr"))
+    j = (
+        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")), "doc_a")
+        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("arr_a") + F.size("arr_b") - F.col("inter")), 9),
+        )
+    )
+    pairs = j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return pairs, dropped
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs sharing any LSH band bucket.
+
+    k=num_hashes md5-based minhashes over ``shingle``-word shingles, banded
+    ``rows_per_band`` rows each. Word-level shingling keeps the hash family
+    discriminative (single tokens share a tiny vocabulary and collide into
+    useless mega-buckets). Output: (doc_a, doc_b, band), distinct.
+    """
+    arr = F.filter(F.split(text_col, " "), lambda t: t != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - (shingle - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, shingle)),
+        )
+    )
+    toks = docs.select(id_col, F.explode(shingles).alias("tok"))
+    h = toks.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"), F.col("tok")
+    ).select(
+        id_col, "i",
+        F.substring(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), "tok")), 1, 12).alias("hv"),
+    )
+    sig = h.groupBy(id_col, "i").agg(F.min("hv").alias("mh"))
+    band = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int")).groupBy(id_col, "band").agg(
+        F.concat_ws("_", F.sort_array(F.collect_list(F.concat_ws(":", F.col("i").cast("string"), "mh")))).alias("bucket")
+    )
+    a = band.select("band", "bucket", F.col(id_col).alias("doc_a"))
+    b = band.select("band", "bucket", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band").distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash from md5-derived per-token bit
+    vectors; all bit arithmetic native (conv + shiftright), no Python."""
+    toks = _tokens(docs, id_col, text_col, [])
+    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    bits = toks.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), hv.alias("hv")
+    ).select(
+        id_col, "bit",
+        (F.expr("shiftright(hv, bit) & 1") * 2 - 1).alias("contrib"),
+    )
+    sig = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s")).select(
+        id_col, "bit", (F.col("s") > 0).cast("long").alias("b")
+    )
+    return sig.groupBy(id_col).agg(
+        F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-cell-blocked.
+
+    Candidates are pairs assigned to the SAME coarse cell (ann.assign_cells);
+    cosine is computed exactly for candidates and thresholded. Same scale
+    shape as the ER blocking self-join: the pair join shuffles on
+    ``centroid_id`` and each cell's quadratic work is bounded by cell size
+    (centroid count is the knob). Near pairs straddling a cell boundary are
+    the recall loss — mitigate with more probes per vector or finer cells;
+    the exact-within-cell semantics make the operator oracle-checkable.
+
+    Output: (vec_a, vec_b, cos) with vec_a < vec_b, cos >= threshold.
+    """
+    from .ann import assign_cells, cosine
+
+    assign = assign_cells(vectors, centroids)
+    v = vectors.join(assign, id_col).select(
+        F.col(id_col), "centroid_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = v.select(F.col(id_col).alias("vec_a"), "centroid_id", F.col("emb").alias("emb_a"))
+    b = v.select(F.col(id_col).alias("vec_b"), "centroid_id", F.col("emb").alias("emb_b"))
+    pairs = (
+        a.join(b, "centroid_id").where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9).alias("cos"))
+    )
+    return pairs.where(F.col("cos") >= threshold)
+
+
+def fingerprints(
+    docs: DataFrame,
+    window: int = 16,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fingerprint) — winnowing-style min md5 over ``window``-char
+    windows sampled every ``stride`` chars (rolling-hash analog,
+    engine-portable)."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (window - 1), F.lit(1)), F.lit(stride))
+    )
+    w = docs.select(id_col, text_col, pos.alias("p")).select(
+        id_col, F.md5(F.substring(F.col(text_col), F.col("p"), window)).alias("h")
+    )
+    return w.groupBy(id_col).agg(F.min("h").alias("fingerprint"))

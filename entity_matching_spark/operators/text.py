@@ -1,0 +1,91 @@
+"""Text-analysis operators (training-data pipeline family).
+
+Per-document columns over ``(doc_id, text)`` — all native
+``pyspark.sql.functions`` expressions inside whole-stage codegen (no UDF, no
+shuffle: each is a pure projection, so throughput is the parquet scan):
+
+- ``token_stats``: whitespace token count + a BPE-ish subword-regex count
+  (the pre-tokenization budget estimate for LLM training data).
+- ``quality_scores``: length / stopword-ratio / punctuation-ratio heuristic
+  combined into a [0,1] score (the C4/Gopher-style quality-filter family).
+- ``language_id``: stopword-marker voting per language, argmax with a
+  deterministic tie-break — the n-gram-heuristic family done as a native
+  sort_array over (hits, lang) structs.
+
+No reference analog (graft-brief requirement beyond fmateoc/entity-matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "in", "to", "is", "on", "for", "with")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "de", "y"),
+    "de": ("der", "die", "und", "das"),
+}
+
+_BPE_RE = r"([A-Za-z]{1,4}|\d+|[^\sA-Za-z\d])"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, ws_tokens, bpe_tokens)."""
+    ws = F.size(F.filter(F.split(text_col, " "), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(text_col, F.lit(_BPE_RE), 1))
+    return docs.select(
+        id_col, F.length(text_col).alias("n_chars"),
+        ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame,
+    stopwords: tuple = STOPWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_stopwords, n_punct, quality in [0,1])."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    len_score = F.least(F.length(text_col) / 500.0, F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    punct_ratio = F.when(F.length(text_col) > 0, n_punct / F.length(text_col)).otherwise(0.0)
+    q = F.round(
+        0.5 * len_score + 0.4 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.1 * (1 - F.least(punct_ratio * 10, F.lit(1.0))), 9,
+    )
+    return docs.select(
+        id_col, n_tok.alias("n_tokens"), n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"), q.alias("quality"),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    markers: dict = LANG_MARKERS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """(doc_id, *keep_cols, pred_lang) — marker-hit argmax, 'unknown' on zero
+    hits. Tie-break is deterministic: max (hits, lang) struct, so the
+    lexicographically-last language wins equal hit counts."""
+    toks = F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+    scores = []
+    for lang, words in sorted(markers.items()):
+        arr = F.array(*[F.lit(m) for m in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return docs.select(id_col, *keep_cols, pred.alias("pred_lang"))

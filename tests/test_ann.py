@@ -1,0 +1,82 @@
+"""ANN operator semantics (operators/ann.py): exhaustive-IVF equivalence,
+recall accounting, and cell-assignment determinism. Cross-engine exactness
+is covered by the driver oracles (ann_* queries)."""
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 2-D unit-ish vectors on a ring: cosine structure is easy to reason about
+    rows = [
+        (i, [math.cos(2 * math.pi * i / 24), math.sin(2 * math.pi * i / 24)])
+        for i in range(24)
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def parts(vectors):
+    import pyspark.sql.functions as F
+
+    cents = vectors.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+    probes = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    return cents, probes
+
+
+class TestAnn:
+    def test_ivf_with_all_cells_equals_brute_force(self, vectors, parts):
+        from entity_matching_spark.operators.ann import brute_force_topk, ivf_topk
+
+        cents, probes = parts
+        exact = sorted(map(tuple, brute_force_topk(vectors, probes, 3).collect()))
+        ivf = sorted(map(tuple, ivf_topk(vectors, cents, probes, 3, n_probe=4).collect()))
+        assert ivf == exact  # searching every cell (n_probe = n_cells) is exact
+
+    def test_restricted_probes_trade_recall(self, vectors, parts):
+        from entity_matching_spark.operators.ann import (
+            brute_force_topk, ivf_recall, ivf_topk,
+        )
+
+        cents, probes = parts
+        exact = brute_force_topk(vectors, probes, 3)
+        ivf = ivf_topk(vectors, cents, probes, 3, n_probe=1)
+        rec = {r["probe_id"]: r["recall"] for r in ivf_recall(ivf, exact, 3).collect()}
+        assert len(rec) == 5
+        assert all(0.0 <= v <= 1.0 for v in rec.values())
+        # ring geometry: a probe's neighbors are its adjacent points, almost
+        # always inside its own cell -> average recall must be well over half
+        assert sum(rec.values()) / len(rec) >= 0.5
+
+    def test_assignment_is_nearest_centroid(self, vectors, parts):
+        from entity_matching_spark.operators.ann import assign_cells
+
+        cents, _ = parts
+        got = {r["vec_id"]: r["centroid_id"] for r in assign_cells(vectors, cents).collect()}
+        assert got[0] == 0 and got[6] == 6 and got[12] == 12
+        assert got[1] == 0          # angle 15 deg: nearest centroid is 0
+        assert got[5] == 6          # angle 75 deg: nearest is 90 deg (id 6)
+        # ring midpoint ties (angle 45 deg) break to the LOWER centroid id
+        assert got[3] == 0
+
+
+class TestEmbeddingNearDup:
+    def test_cell_blocked_threshold_pairs(self, vectors, parts):
+        from entity_matching_spark.operators.dedup import embedding_near_dup_pairs
+
+        cents, _ = parts
+        got = {(r["vec_a"], r["vec_b"]): r["cos"]
+               for r in embedding_near_dup_pairs(vectors, cents, threshold=0.9).collect()}
+        # ring spacing 15 deg: cos(15)=0.966 >= 0.9, cos(30)=0.866 < 0.9 ->
+        # only ADJACENT points can pair; (0,1) share cell 0 so must be found
+        assert (0, 1) in got
+        assert all(b - a == 1 or (a, b) == (0, 23) for a, b in got)
+        assert all(v >= 0.9 for v in got.values())
+        # non-adjacent same-cell pair is below threshold
+        assert (0, 2) not in got

@@ -1,0 +1,121 @@
+"""Unit tests for the training-data operators: dedup family
+(operators/dedup.py) and text analysis (operators/text.py) on small
+deterministic fixtures. The driver oracle (tools/check_oracles.py) covers
+cross-engine exactness; these pin the operator semantics directly."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # exact duplicate cluster {1, 2}
+        (1, "web", "alpha beta gamma delta epsilon"),
+        (2, "web", "alpha beta gamma delta epsilon"),
+        # near-dup of 1/2 (inter 4, union 6 -> jaccard 2/3)
+        (3, "web", "alpha beta gamma delta zeta"),
+        # unrelated doc, same source
+        (4, "web", "one two three four five six"),
+        # same text as 1 but other source: exact-dup YES, jaccard-blocked NO
+        (5, "books", "alpha beta gamma delta epsilon"),
+        # stopword-soup doc: every token over the df cap when cap=1
+        (6, "web", "the the the"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs):
+        from entity_matching_spark.operators.dedup import exact_duplicates
+
+        got = {r["canonical_doc"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+        assert got[1] == 3          # docs 1, 2, 5 share the text
+        assert got[3] == 1 and got[4] == 1
+
+    def test_token_jaccard_blocked_by_source(self, docs):
+        from entity_matching_spark.operators.dedup import token_jaccard_pairs
+
+        pairs, dropped = token_jaccard_pairs(docs, threshold=0.5, df_cap=50)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+        assert got[(1, 2)] == 1.0
+        assert abs(got[(1, 3)] - 2 / 3) < 1e-6
+        assert (1, 5) not in got    # cross-source: blocked out
+        assert (1, 4) not in got    # no token overlap
+        assert dropped.count() == 0
+
+    def test_token_jaccard_df_cap_drops_hot_tokens(self, docs):
+        from entity_matching_spark.operators.dedup import token_jaccard_pairs
+
+        # cap=2: tokens in >2 docs of a source (alpha..delta appear in 1,2,3)
+        # leave candidate generation; 1-2 still pair via 'epsilon' (df=2),
+        # and the dropped profile reports the hot tokens
+        pairs, dropped = token_jaccard_pairs(docs, threshold=0.5, df_cap=2)
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+        hot = {r["tok"] for r in dropped.collect()}
+        assert {"alpha", "beta", "gamma", "delta"} <= hot
+
+    def test_minhash_lsh_finds_near_dups(self, docs):
+        from entity_matching_spark.operators.dedup import minhash_lsh_pairs
+
+        got = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+        assert (1, 2) in got and (1, 5) in got   # identical text always collides
+        assert (1, 4) not in got                 # disjoint text never collides
+
+    def test_simhash_identical_text_identical_signature(self, docs):
+        from entity_matching_spark.operators.dedup import simhash_signatures
+
+        sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+        assert sig[1] == sig[2] == sig[5]
+        assert sig[1] != sig[4]
+        assert all(0 <= v < 2**32 for v in sig.values())
+
+    def test_fingerprints_stable_and_discriminative(self, docs):
+        from entity_matching_spark.operators.dedup import fingerprints
+
+        fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+        assert fp[1] == fp[2] == fp[5]
+        assert fp[1] != fp[4]
+
+
+class TestTextOps:
+    def test_token_stats(self, spark):
+        from entity_matching_spark.operators.text import token_stats
+
+        df = spark.createDataFrame(
+            [(1, "hello world 42"), (2, "internationalization!")],
+            "doc_id int, text string",
+        )
+        got = {r["doc_id"]: r for r in token_stats(df).collect()}
+        assert got[1]["ws_tokens"] == 3
+        # BPE-ish: <=4-letter runs + digits + punct: hell|o wor|ld 42 -> 5
+        assert got[1]["bpe_tokens"] == 5
+        # 20 letters -> 5 chunks of 4, plus '!'
+        assert got[2]["bpe_tokens"] == 6
+
+    def test_quality_scores_ordering(self, spark):
+        from entity_matching_spark.operators.text import quality_scores
+
+        good = "the cat sat on the mat and looked at the dog " * 12  # long + stopwords
+        bad = "@@@ ### !!! $$$"
+        df = spark.createDataFrame([(1, good), (2, bad)], "doc_id int, text string")
+        got = {r["doc_id"]: r["quality"] for r in quality_scores(df).collect()}
+        assert got[1] > 0.8
+        assert got[2] < 0.3
+
+    def test_language_id(self, spark):
+        from entity_matching_spark.operators.text import language_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "the dog is at the door and the cat"),
+                (2, "le chat et la porte et les chiens"),
+                (3, "der hund und die katze und das haus"),
+                (4, "xyzzy plugh"),
+            ],
+            "doc_id int, text string",
+        )
+        got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+        assert got[1] == "en" and got[2] == "fr" and got[3] == "de"
+        assert got[4] == "unknown"
