@@ -9,7 +9,16 @@ module is the incremental complement for continuously-arriving transcripts:
   foreachBatch -> per-batch S1 record assembly appended to the records table.
   Conversations are only assembled once complete (watermark on `ts` bounds
   how long we wait for late turns); each micro-batch processes only the
-  conversations whose last turn falls inside the batch window.
+  conversations whose last turn falls inside the batch window. Assumes each
+  arriving file carries whole conversations.
+- `stateful_assembly`: the CROSS-BATCH case — turns of one conversation may
+  arrive in different micro-batches. A custom stateful operator
+  (applyInPandasWithState, event-time timeout) accumulates each
+  conversation's turns in keyed state and emits the assembled document only
+  after no new turn has arrived for ``gap`` of event time (session-gap
+  semantics); late turns inside the watermark are merged in arrival-
+  independent (turn_idx, text)-sorted order, so the output text is identical
+  to the batch path's E1 concatenation.
 
 At 10^12-turn scale the batch pipeline remains the primary path (bounded,
 resumable, rerunnable); streaming ingestion keeps the records table warm
@@ -62,6 +71,93 @@ def incremental_records(
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# output/state schemas for the stateful assembler
+ASSEMBLED_DDL = "conv_id string, text string, n_turns int"
+_STATE_DDL = "turn_idx array<int>, text array<string>, max_ts_ms bigint"
+
+
+def _gap_to_ms(gap: str) -> int:
+    n, unit = gap.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60000, "minutes": 60000,
+            "hour": 3600000, "hours": 3600000}[unit]
+    return int(n) * mult
+
+
+def stateful_assembly(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+    gap: str = "5 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Cross-batch conversation assembly via applyInPandasWithState.
+
+    Per-conversation keyed state holds the turns seen so far; a conversation
+    is emitted once its event-time timeout fires — ``gap`` past the
+    conversation's last-seen turn timestamp (bounded below by the current
+    watermark, as required by the state API). Output rows match the batch
+    E1 assembly: turns sorted by (turn_idx, text), newline-joined.
+
+    The per-group state is O(conversation size) and sharded by conv_id
+    across executors — the streaming analog of the groupBy shuffle in the
+    batch path. State survives restarts via the checkpoint location.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _gap_to_ms(gap)
+
+    def assemble(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            turn_idx, texts, _max_ts = state.get
+            order = sorted(range(len(texts)), key=lambda i: (turn_idx[i], texts[i]))
+            doc = "\n".join(texts[i] for i in order)
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [key[0]], "text": [doc], "n_turns": [len(texts)]}
+            )
+            return
+        turn_idx, texts, max_ts = (list(state.get[0]), list(state.get[1]), state.get[2]) \
+            if state.exists else ([], [], 0)
+        for pdf in pdf_iter:
+            turn_idx.extend(int(x) for x in pdf["turn_idx"])
+            texts.extend(str(x) for x in pdf["text"])
+            batch_max = int(pdf["ts"].astype("int64").max() // 1_000_000)
+            max_ts = max(max_ts, batch_max)
+        state.update((turn_idx, texts, max_ts))
+        # fire `gap` after the last-seen turn; the API requires the timeout
+        # to sit beyond the current watermark
+        state.setTimeoutTimestamp(max(max_ts + gap_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({"conv_id": [], "text": [], "n_turns": []})
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+    )
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = stream.parquet(input_path).withWatermark("ts", watermark)
+
+    out = src.groupBy("conv_id").applyInPandasWithState(
+        assemble,
+        outputStructType=ASSEMBLED_DDL,
+        stateStructType=_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -33,3 +33,62 @@ class TestIncrementalIngest:
         q2 = incremental_records(spark, in_dir, out_dir, ck_dir)
         q2.awaitTermination(120)
         assert spark.read.parquet(out_dir).count() == n_conv
+
+
+class TestStatefulAssembly:
+    def test_cross_batch_session_gap(self, spark, tmp_path):
+        """applyInPandasWithState: turns of one conversation arriving in
+        DIFFERENT micro-batches merge in keyed state; the assembled document
+        is emitted only after `gap` of event time passes with no new turn,
+        and matches the batch E1 concatenation order."""
+        import datetime as dt
+
+        from entity_matching_spark.streaming.ingest import stateful_assembly
+
+        import glob as globmod
+        import shutil
+
+        ddl = ("conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp")
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+        in_dir = tmp_path / "sin"
+        in_dir.mkdir()
+
+        def write_file(rows, name):
+            # the streaming file source does not recurse into the directory a
+            # DataFrame writer creates — stage then copy the flat part file
+            stage = str(tmp_path / "sstage")
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(globmod.glob(stage + "/part-*.parquet")[0], str(in_dir / name))
+
+        # file 1: convA turns 0,1 + convB turn 0
+        write_file([
+            ("convA", 0, "user", "a-zero", None, t0),
+            ("convA", 1, "assistant", "a-one", None, t0 + dt.timedelta(minutes=1)),
+            ("convB", 0, "user", "b-zero", None, t0 + dt.timedelta(minutes=1)),
+        ], "f1.parquet")
+        # file 2: convA turn 2 (cross-batch merge for A)
+        write_file([
+            ("convA", 2, "assistant", "a-two", None, t0 + dt.timedelta(minutes=2)),
+        ], "f2.parquet")
+        # file 3: watermark pusher far in the future -> A and B time out;
+        # convZ itself stays in state (its own timeout is beyond the data)
+        write_file([
+            ("convZ", 0, "user", "z-zero", None, t0 + dt.timedelta(hours=2)),
+        ], "f3.parquet")
+
+        out_dir = str(tmp_path / "sout")
+        q = stateful_assembly(
+            spark, str(in_dir), out_dir, str(tmp_path / "sck"),
+            watermark="10 minutes", gap="5 minutes",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        got = {r["conv_id"]: r for r in spark.read.parquet(out_dir).collect()}
+        assert "convA" in got and "convB" in got
+        assert got["convA"]["text"] == "a-zero\na-one\na-two"  # cross-batch order
+        assert got["convA"]["n_turns"] == 3
+        assert got["convB"]["text"] == "b-zero"
+        assert "convZ" not in got  # still open: nothing advanced past its gap
