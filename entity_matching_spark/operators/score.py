@@ -87,7 +87,12 @@ def _pair_scores_udf(config: MatchConfig):
         norm_fm_a: pd.Series, norm_fm_b: pd.Series,
         fm_raw_a: pd.Series, fm_raw_b: pd.Series,
         tax_legal_a: pd.Series,
+        nm_contains: pd.Series, nm_reorder: pd.Series,
+        fm_contains_col: pd.Series, fm_acronym: pd.Series,
     ) -> pd.DataFrame:
+        # The containment / word-reorder / acronym tier predicates arrive as
+        # JVM-computed boolean columns (see _tier_predicates) — the UDF keeps
+        # only the JW work, so the Arrow batch has NO per-row Python loops.
         import numpy as np
 
         n = len(norm_legal_a)
@@ -120,15 +125,8 @@ def _pair_scores_udf(config: MatchConfig):
         # --- H4 legal-name tiers (FuzzyNameMatcher.java:92-119)
         jw_legal = jw_enc(e_la, e_lb)
         exact = (la == lb).to_numpy()
-        contains = np.fromiter(
-            ((x in y or y in x) if x and y else False for x, y in zip(la, lb)),
-            dtype=bool, count=n,
-        )
-        reorder = np.fromiter(
-            (sorted(x.split()) == sorted(y.split()) and len(x.split()) == len(y.split())
-             for x, y in zip(la, lb)),
-            dtype=bool, count=n,
-        )
+        contains = nm_contains.fillna(False).to_numpy(dtype=bool)
+        reorder = nm_reorder.fillna(False).to_numpy(dtype=bool)
         legal = np.where(
             dba_score > 0.85, dba_score,
             np.where(exact, 1.0,
@@ -140,25 +138,11 @@ def _pair_scores_udf(config: MatchConfig):
         fa = norm_fm_a.fillna("")
         fb = norm_fm_b.fillna("")
         fm = jw_enc(enc(fa), enc(fb))
-
-        def acro(x: str, y: str) -> bool:
-            xs, ys = x.split(), y.split()
-            if len(xs) == 1 and len(ys) > 1:
-                return xs[0].lower() == "".join(w[0] for w in ys if w).lower()
-            if len(ys) == 1 and len(xs) > 1:
-                return ys[0].lower() == "".join(w[0] for w in xs if w).lower()
-            return False
-
-        acronym = np.fromiter(
-            (acro(x, y) if x and y else False for x, y in zip(fa, fb)),
-            dtype=bool, count=n,
-        )
+        acronym = fm_acronym.fillna(False).to_numpy(dtype=bool)
         fm = np.where(acronym, np.maximum(fm, 0.9), fm)
-        fm_contains = np.fromiter(
-            ((x in y or y in x) if x and y else False for x, y in zip(fa, fb)),
-            dtype=bool, count=n,
+        fm = np.where(
+            fm_contains_col.fillna(False).to_numpy(dtype=bool), np.maximum(fm, 0.85), fm
         )
-        fm = np.where(fm_contains, np.maximum(fm, 0.85), fm)
 
         e_tax = enc(tax_legal_a)
         return pd.DataFrame({
@@ -171,6 +155,51 @@ def _pair_scores_udf(config: MatchConfig):
         })
 
     return pair_scores
+
+
+def _tier_predicates() -> dict[str, F.Column]:
+    """The H4/H5 tier predicates (containment, word-reorder, acronym) as
+    NATIVE column expressions over the pair-joined side columns — they run
+    inside whole-stage codegen and feed the Arrow UDF as booleans, so the
+    only Python left in the hot path is the batched-numpy JW kernel.
+
+    Exactly mirrors the reference semantics the UDF previously computed
+    per-row (FuzzyNameMatcher.java:105-117 containment/reorder over
+    normalized names, :213-239 acronym/containment over normalized fund
+    managers); D6/D7-normalized names are single-space-collapsed, so
+    ``split(' ')`` equals Python's ``str.split()`` on every non-empty input,
+    and the empty-string edge cases fall out identically (analysis pinned by
+    the H4/H5 tier tests and the pairwise-F1 gate).
+    """
+    nla = F.coalesce("norm_legal_name_a", F.lit(""))
+    nlb = F.coalesce("norm_legal_name_b", F.lit(""))
+    ne_both = (F.length(nla) > 0) & (F.length(nlb) > 0)
+    nm_contains = ne_both & (nla.contains(nlb) | nlb.contains(nla))
+    nm_reorder = (
+        F.sort_array(F.split(nla, " ")) == F.sort_array(F.split(nlb, " "))
+    ) & (F.size(F.split(nla, " ")) == F.size(F.split(nlb, " ")))
+
+    fa = F.coalesce("norm_fund_manager_a", F.lit(""))
+    fb = F.coalesce("norm_fund_manager_b", F.lit(""))
+    fm_both = (F.length(fa) > 0) & (F.length(fb) > 0)
+    fm_contains = fm_both & (fa.contains(fb) | fb.contains(fa))
+
+    def words(c):
+        return F.filter(F.split(c, " "), lambda w: w != "")
+
+    def acr(ws):
+        return F.lower(F.concat_ws("", F.transform(ws, lambda w: F.substring(w, 1, 1))))
+
+    wa, wb = words(fa), words(fb)
+    acr_ab = (F.size(wa) == 1) & (F.size(wb) > 1) & (F.lower(F.element_at(wa, 1)) == acr(wb))
+    acr_ba = (F.size(wb) == 1) & (F.size(wa) > 1) & (F.lower(F.element_at(wb, 1)) == acr(wa))
+    fm_acronym = fm_both & (acr_ab | acr_ba)
+    return {
+        "nm_contains": nm_contains,
+        "nm_reorder": nm_reorder,
+        "fm_contains": fm_contains,
+        "fm_acronym": fm_acronym,
+    }
 
 
 def _prepare_sides(records: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -264,7 +293,8 @@ def score_pairs(
 
     # I13 input (shortname_dup_b) now arrives pre-computed from _prepare_sides
 
-    # --- similarity UDF (one Arrow pass per batch) ---------------------------
+    # --- similarity UDF (one Arrow pass per batch); tier predicates native --
+    tiers = _tier_predicates()
     scores = _pair_scores_udf(cfg)(
         "norm_legal_name_a", "norm_legal_name_b",
         "legal_name_a", "legal_name_b",
@@ -272,6 +302,8 @@ def score_pairs(
         "norm_fund_manager_a", "norm_fund_manager_b",
         "fund_manager_a", "fund_manager_b",
         "taxform_legal_name_a",
+        tiers["nm_contains"], tiers["nm_reorder"],
+        tiers["fm_contains"], tiers["fm_acronym"],
     )
     df = df.withColumn("s", scores).select("*", "s.*").drop("s")
 
