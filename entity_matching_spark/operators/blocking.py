@@ -190,6 +190,54 @@ def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = No
     return k1.unionByName(k2).distinct()
 
 
+def generate_cross_pairs(
+    probe_keys: DataFrame, corpus_keys: DataFrame, config: MatchConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-only candidate pairs: probe records vs an existing corpus.
+
+    The incremental/streaming analog of ``generate_pairs``: each probe key
+    row joins the corpus rows sharing that key — NO corpus-corpus self-join
+    (the corpus was already pair-generated when its records arrived), so a
+    micro-batch's work is |batch keys| x matching-group, independent of
+    corpus size. Groups are capped by the CORPUS-side frequency
+    (``max_block_size``, dropped keys returned); output orientation is
+    (conv_id_a = probe, conv_id_b = corpus), one row per pair at its
+    highest-precedence pass — same contract as ``generate_pairs``.
+    """
+    cfg = config or DEFAULT_CONFIG
+    cap = cfg.max_block_size
+
+    counts = corpus_keys.groupBy("key").agg(F.count("*").alias("n"))
+    dropped = counts.where(F.col("n") > cap)
+    ok = corpus_keys.join(counts.where(F.col("n") <= cap), "key").drop("n")
+
+    a = probe_keys.select("key", F.col("conv_id").alias("conv_id_a"), F.col("pass").alias("pass_a"))
+    b = ok.select("key", F.col("conv_id").alias("conv_id_b"))
+    raw = (
+        a.join(b, "key")
+        .where(F.col("conv_id_a") != F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b", F.col("pass_a").alias("pass"), "key")
+    )
+    rank_map = F.create_map(
+        *[F.lit(x) for name, (rank, _) in BLOCKING_PASSES.items() for x in (name, rank)]
+    )
+    strat_map = F.create_map(
+        *[F.lit(x) for name, (_, s) in BLOCKING_PASSES.items() for x in (name, s)]
+    )
+    best = (
+        raw.withColumn("rank", rank_map[F.col("pass")])
+        .groupBy("conv_id_a", "conv_id_b")
+        .agg(F.min(F.struct("rank", "pass", "key")).alias("m"))
+        .select(
+            "conv_id_a", "conv_id_b",
+            strat_map[F.col("m.pass")].alias("strategy"),
+            F.col("m.pass").alias("pass"),
+            F.col("m.key").alias("block_key"),
+        )
+    )
+    return best, dropped
+
+
 def cap_candidates_per_probe(pairs: DataFrame, config: MatchConfig | None = None) -> DataFrame:
     """Per-probe cap on fuzzy-name candidates — the set-oriented analog of
     ``LIMIT 100`` + the exact-full/exact-short ORDER BY tiering in

@@ -162,3 +162,85 @@ def stateful_assembly(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_match(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    config: MatchConfig | None = None,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous matching: every micro-batch of transcript turns is
+    assembled into records and matched against the ACCUMULATED corpus.
+
+    Per batch (foreachBatch, exactly-once via the streaming checkpoint):
+
+    1. assemble + extract the batch's conversations (build_records);
+    2. blocking keys for the batch records — the corpus's keys are READ from
+       the persisted keys table, not recomputed, so per-batch work is
+       O(batch x matching-group), independent of corpus size;
+    3. candidate pairs = batch-vs-corpus cross join on shared keys
+       (blocking.generate_cross_pairs — no corpus-corpus re-pairing) PLUS
+       the batch's internal self-pairs (two new conversations can match
+       each other);
+    4. score_pairs over the union, append decisions to ``matches``;
+    5. append the batch's records and keys to the corpus tables.
+
+    The sorted-neighborhood pass is excluded (it needs a global sort — that
+    is the batch-recompute path's job); identifier/name-token/email keys are
+    incremental by construction. Output tables under ``work_dir``:
+    ``records``, ``keys``, ``matches``.
+    """
+    import os
+
+    from ..operators.assemble import build_records
+    from ..operators.blocking import generate_blocking_keys, generate_cross_pairs, generate_pairs
+    from ..operators.score import SIDE_COLS, score_pairs
+    from ..plans.pipeline import SCORED_COLS
+
+    cfg = config or DEFAULT_CONFIG
+    from dataclasses import replace
+
+    cfg = replace(
+        cfg,
+        blocking_passes=tuple(p for p in cfg.blocking_passes if p != "sorted_neighborhood"),
+    )
+    records_path = os.path.join(work_dir, "records")
+    keys_path = os.path.join(work_dir, "keys")
+    matches_path = os.path.join(work_dir, "matches")
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        batch_records = build_records(batch_df, cfg).localCheckpoint()
+        batch_keys = generate_blocking_keys(batch_records, cfg).localCheckpoint()
+
+        pairs, _dropped = generate_pairs(batch_keys, cfg)
+        have_corpus = os.path.exists(records_path)
+        if have_corpus:
+            corpus_keys = spark.read.parquet(keys_path)
+            cross, _dropped2 = generate_cross_pairs(batch_keys, corpus_keys, cfg)
+            pairs = pairs.unionByName(cross).dropDuplicates(["conv_id_a", "conv_id_b"])
+
+        sides = batch_records.select(*SIDE_COLS)
+        if have_corpus:
+            sides = sides.unionByName(spark.read.parquet(records_path).select(*SIDE_COLS))
+        scored = score_pairs(sides, pairs, cfg)
+        scored.select(*SCORED_COLS).write.mode("append").parquet(matches_path)
+
+        batch_records.write.mode("append").parquet(records_path)
+        batch_keys.write.mode("append").parquet(keys_path)
+
+    stream = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = stream.parquet(input_path).withWatermark("ts", watermark)
+    writer = src.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", os.path.join(work_dir, "_stream_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -168,3 +168,32 @@ class TestCandidateCap:
         assert kept_clean == 3
         # cap disabled -> passthrough
         assert cap_candidates_per_probe(pairs, MatchConfig(max_candidates_per_probe=0)).count() == len(rows)
+
+
+class TestCrossPairs:
+    def test_corpus_side_cap_and_orientation(self, spark):
+        """generate_cross_pairs: probe-vs-corpus only (no corpus-corpus),
+        probe always conv_id_a, over-cap corpus groups dropped + reported."""
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.config import MatchConfig
+        from entity_matching_spark.operators.blocking import generate_cross_pairs
+
+        probe = spark.createDataFrame(
+            [("p1", "mei", "mei:K"), ("p1", "cleanname", "cleanname:K2")],
+            "conv_id string, pass string, key string",
+        )
+        corpus_rows = (
+            [(f"c{i:03d}", "mei", "mei:K") for i in range(5)]
+            + [(f"h{i:03d}", "mei", "mei:HOT") for i in range(150)]
+            + [("c000", "cleanname", "cleanname:K2")]
+        )
+        corpus = spark.createDataFrame(corpus_rows, "conv_id string, pass string, key string")
+        pairs, dropped = generate_cross_pairs(probe, corpus, MatchConfig(max_block_size=100))
+        rows = pairs.collect()
+        assert all(r["conv_id_a"] == "p1" for r in rows)          # orientation
+        assert len(rows) == 5                                      # one per corpus match
+        # c000 shares BOTH keys -> precedence keeps the identifier pass
+        byb = {r["conv_id_b"]: r for r in rows}
+        assert byb["c000"]["pass"] == "mei" and byb["c000"]["strategy"] == "IDENTIFIER"
+        assert {r["key"] for r in dropped.collect()} == {"mei:HOT"}

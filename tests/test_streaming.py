@@ -92,3 +92,53 @@ class TestStatefulAssembly:
         assert got["convA"]["n_turns"] == 3
         assert got["convB"]["text"] == "b-zero"
         assert "convZ" not in got  # still open: nothing advanced past its gap
+
+
+class TestIncrementalMatch:
+    def test_batch_vs_corpus_matching(self, spark, tmp_path):
+        """Stream-static incremental matching: a later-arriving conversation
+        must match an earlier batch's record via the persisted corpus keys;
+        conversations inside one batch also pair with each other."""
+        import datetime as dt
+        import glob as globmod
+        import shutil
+
+        from entity_matching_spark.streaming.ingest import incremental_match
+
+        ddl = ("conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp")
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+        in_dir = tmp_path / "min"
+        in_dir.mkdir()
+
+        def write_file(rows, name):
+            stage = str(tmp_path / "mstage")
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(globmod.glob(stage + "/part-*.parquet")[0], str(in_dir / name))
+
+        blurb = "Legal Name: Quiet Timber Works LLC\nMEI: US00000011"
+        # batch 1: two conversations sharing the MEI -> intra-batch pair
+        write_file([
+            ("convA1", 0, "user", blurb, None, t0),
+            ("convA2", 0, "user", blurb, None, t0),
+        ], "b1.parquet")
+        # batch 2: one new conversation with the same MEI -> cross-batch pairs
+        write_file([
+            ("convB", 0, "user", blurb, None, t0 + dt.timedelta(minutes=1)),
+        ], "b2.parquet")
+
+        wd = str(tmp_path / "mwork")
+        q = incremental_match(spark, str(in_dir), wd, max_files_per_trigger=1)
+        q.awaitTermination(240)
+
+        matches = spark.read.parquet(wd + "/matches")
+        got = {
+            tuple(sorted((r["conv_id_a"], r["conv_id_b"]))): r["strategy"]
+            for r in matches.collect()
+        }
+        assert got[("convA1", "convA2")] == "IDENTIFIER"   # intra-batch
+        assert got[("convA1", "convB")] == "IDENTIFIER"    # cross-batch
+        assert got[("convA2", "convB")] == "IDENTIFIER"
+        # corpus accumulated all three records + their keys
+        assert spark.read.parquet(wd + "/records").count() == 3
+        assert spark.read.parquet(wd + "/keys").select("conv_id").distinct().count() == 3
