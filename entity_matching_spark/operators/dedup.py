@@ -111,15 +111,30 @@ def minhash_lsh_pairs(
         )
     )
     toks = docs.select(id_col, F.explode(shingles).alias("tok"))
-    h = toks.select(
-        id_col, F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"), F.col("tok")
-    ).select(
-        id_col, "i",
-        F.substring(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), "tok")), 1, 12).alias("hv"),
-    )
-    sig = h.groupBy(id_col, "i").agg(F.min("hv").alias("mh"))
-    band = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int")).groupBy(id_col, "band").agg(
-        F.concat_ws("_", F.sort_array(F.collect_list(F.concat_ws(":", F.col("i").cast("string"), "mh")))).alias("bucket")
+    # all k minhashes as PARALLEL aggregate expressions over the (doc,
+    # shingle) rows — one groupBy with k min() columns instead of exploding
+    # k x rows through the shuffle (the explode formulation was the slowest
+    # dedup query; this is the same signature bytes with 1/k the shuffle)
+    sig = toks.groupBy(id_col).agg(*[
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok"))), 1, 12)
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ])
+    n_bands = num_hashes // rows_per_band
+
+    def bucket(b: int) -> F.Column:
+        parts = [
+            F.concat_ws(":", F.lit(str(i)), F.col(f"mh{i}"))
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return F.concat_ws("_", F.sort_array(F.array(*parts)))
+
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket")) for b in range(n_bands)
+    ])
+    band = sig.select(id_col, F.explode(bands_arr).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = band.select("band", "bucket", F.col(id_col).alias("doc_a"))
     b = band.select("band", "bucket", F.col(id_col).alias("doc_b"))

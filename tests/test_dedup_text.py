@@ -119,3 +119,43 @@ class TestTextOps:
         got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
         assert got[1] == "en" and got[2] == "fr" and got[3] == "de"
         assert got[4] == "unknown"
+
+
+class TestDedupInvariants:
+    def test_simhash_token_order_invariant(self, spark):
+        """SimHash is computed over the distinct-token SET — permuting the
+        words of a document must not change its signature."""
+        import random
+
+        from entity_matching_spark.operators.dedup import simhash_signatures
+
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+        rng = random.Random(7)
+        perms = []
+        for i in range(4):
+            w = list(words)
+            rng.shuffle(w)
+            perms.append((i, " ".join(w)))
+        df = spark.createDataFrame(perms, "doc_id int, text string")
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+        assert len(set(sigs.values())) == 1
+
+    def test_minhash_row_order_invariant(self, spark, docs):
+        """The LSH pair set must not depend on input row order."""
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.operators.dedup import minhash_lsh_pairs
+
+        fwd = {tuple(r) for r in minhash_lsh_pairs(docs).collect()}
+        rev = {tuple(r) for r in minhash_lsh_pairs(docs.orderBy(F.desc("doc_id"))).collect()}
+        assert fwd == rev and fwd
+
+    def test_exact_dup_partitions_corpus(self, spark, docs):
+        """Every document lands in exactly one hash group: copy counts sum
+        to the corpus size."""
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.operators.dedup import exact_duplicates
+
+        agg = exact_duplicates(docs).agg(F.sum("n_copies").alias("s")).collect()[0]
+        assert agg["s"] == docs.count()
