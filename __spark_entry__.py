@@ -993,6 +993,52 @@ def _sql_ann_ivf_search(sf: str) -> str:
     """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators/dedup.simhash_near_dup_pairs):
+    byte-band blocked candidates (pigeonhole: Hamming<=3 implies one shared
+    byte of the 32-bit signature), exact popcount-of-xor filter. All native
+    bit arithmetic; DuckDB reproduces signatures, bands and distances."""
+    from entity_matching_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _read(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_dedup_simhash_pairs(sf: str) -> str:
+    return """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+    hv AS (SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks2),
+    bits AS (
+      SELECT doc_id, bit, ((hv >> bit) & 1) * 2 - 1 AS contrib
+      FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+    ),
+    sig0 AS (
+      SELECT doc_id, bit, CASE WHEN SUM(contrib) > 0 THEN 1 ELSE 0 END AS b
+      FROM bits GROUP BY doc_id, bit
+    ),
+    sig AS (
+      SELECT doc_id, CAST(SUM(b * (1::BIGINT << bit)) AS BIGINT) AS simhash
+      FROM sig0 GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS byte
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM keyed a JOIN keyed b ON a.band = b.band AND a.byte = b.byte
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (operators/dedup.embedding_near_dup_pairs):
     IVF-cell-blocked candidate pairs, exact cosine, threshold 0.35 (the
@@ -1432,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "em_catalog_match": q_catalog_match,
         "doc_fingerprint": q_fingerprint,
@@ -1469,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_jaccard": _sql_dedup_token_jaccard(sf),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(sf),
         "dedup_simhash": _sql_dedup_simhash(sf),
+        "dedup_simhash_pairs": _sql_dedup_simhash_pairs(sf),
         "dedup_embedding": _sql_dedup_embedding(sf),
         "doc_fingerprint": _sql_fingerprint(sf),
         "multimodal_features": _sql_multimodal_features(sf),

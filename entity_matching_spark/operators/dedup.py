@@ -165,6 +165,44 @@ def simhash_signatures(
     )
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, byte-band blocked.
+
+    The 32-bit signature splits into 4 bytes; by pigeonhole, any pair within
+    Hamming distance 3 agrees on at least one whole byte, so candidates are
+    pairs sharing (band, byte) — an equi-join, never all-pairs — and the
+    exact popcount-of-xor filter keeps those within ``max_hamming``. For
+    ``max_hamming`` > 3 the byte-band guarantee weakens to a recall
+    heuristic (documented standard SimHash practice). All native bit
+    arithmetic. Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"(simhash >> {8 * i}) & 255").alias("byte"),
+        )
+        for i in range(4)
+    ])
+    keyed = sig.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte")
+    )
+    a = keyed.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "byte")
+    b = keyed.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "byte")
+    cand = (
+        a.join(b, ["band", "byte"]).where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    )
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -159,3 +159,25 @@ class TestDedupInvariants:
 
         agg = exact_duplicates(docs).agg(F.sum("n_copies").alias("s")).collect()[0]
         assert agg["s"] == docs.count()
+
+    def test_simhash_pairs_exact_vs_brute_force(self, spark, docs):
+        """Pigeonhole guarantee: at max_hamming=3 the byte-band candidates
+        contain EVERY qualifying pair — the blocked operator must equal the
+        brute-force popcount over all signature pairs."""
+        from entity_matching_spark.operators.dedup import (
+            simhash_near_dup_pairs, simhash_signatures,
+        )
+
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+        ids = sorted(sigs)
+        brute = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+        }
+        assert got == brute
+        assert got[(1, 2)] == 0 and got[(1, 5)] == 0  # identical text
