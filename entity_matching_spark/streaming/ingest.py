@@ -176,7 +176,10 @@ def incremental_match(
     """Continuous matching: every micro-batch of transcript turns is
     assembled into records and matched against the ACCUMULATED corpus.
 
-    Per batch (foreachBatch, exactly-once via the streaming checkpoint):
+    Per batch (foreachBatch; effectively-once: the streaming checkpoint
+    gives at-least-once batch execution and every write lands in a
+    deterministic per-batch partition with overwrite, so replays rewrite
+    instead of duplicating):
 
     1. assemble + extract the batch's conversations (build_records);
     2. blocking keys for the batch records — the corpus's keys are READ from
@@ -212,6 +215,15 @@ def incremental_match(
     keys_path = os.path.join(work_dir, "keys")
     matches_path = os.path.join(work_dir, "matches")
 
+    def _write(df: DataFrame, base: str, batch_id: int):
+        # Idempotent under micro-batch REPLAY: foreachBatch offers
+        # at-least-once execution, so a plain append would double-write a
+        # replayed batch. Writing each batch to its own deterministic
+        # partition directory with overwrite makes the replay a no-op
+        # rewrite; readers see batch_id as a discovered partition column
+        # (dropped by the SIDE_COLS/SCORED_COLS projections).
+        df.write.mode("overwrite").parquet(os.path.join(base, f"batch_id={batch_id}"))
+
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
@@ -221,18 +233,23 @@ def incremental_match(
         pairs, _dropped = generate_pairs(batch_keys, cfg)
         have_corpus = os.path.exists(records_path)
         if have_corpus:
-            corpus_keys = spark.read.parquet(keys_path)
+            # exclude any replayed copy of THIS batch from the corpus side
+            corpus_keys = spark.read.parquet(keys_path).where(F.col("batch_id") != batch_id)
             cross, _dropped2 = generate_cross_pairs(batch_keys, corpus_keys, cfg)
             pairs = pairs.unionByName(cross).dropDuplicates(["conv_id_a", "conv_id_b"])
 
         sides = batch_records.select(*SIDE_COLS)
         if have_corpus:
-            sides = sides.unionByName(spark.read.parquet(records_path).select(*SIDE_COLS))
+            corpus_sides = (
+                spark.read.parquet(records_path)
+                .where(F.col("batch_id") != batch_id).select(*SIDE_COLS)
+            )
+            sides = sides.unionByName(corpus_sides)
         scored = score_pairs(sides, pairs, cfg)
-        scored.select(*SCORED_COLS).write.mode("append").parquet(matches_path)
+        _write(scored.select(*SCORED_COLS), matches_path, batch_id)
 
-        batch_records.write.mode("append").parquet(records_path)
-        batch_keys.write.mode("append").parquet(keys_path)
+        _write(batch_records, records_path, batch_id)
+        _write(batch_keys, keys_path, batch_id)
 
     stream = spark.readStream.schema(TRANSCRIPT_DDL)
     if max_files_per_trigger:

@@ -142,3 +142,10 @@ class TestIncrementalMatch:
         # corpus accumulated all three records + their keys
         assert spark.read.parquet(wd + "/records").count() == 3
         assert spark.read.parquet(wd + "/keys").select("conv_id").distinct().count() == 3
+
+        # restart with no new input: no duplicate appends (per-batch
+        # partition overwrite keeps the tables replay-stable)
+        q2 = incremental_match(spark, str(in_dir), wd, max_files_per_trigger=1)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(wd + "/records").count() == 3
+        assert spark.read.parquet(wd + "/matches").count() == matches.count()
