@@ -1415,6 +1415,37 @@ def _sql_multimodal_features(sf: str) -> str:
     """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (operators/multimodal.sample_frames) — the one-to-many
+    mapInPandas shape video extraction needs: every payload yields up to 8
+    frame rows at 64-byte strides, 32-byte windows, md5 per frame. The byte
+    decoder stands in for container parsing; DuckDB reproduces offsets and
+    hashes from the ASCII text (codepoint == byte)."""
+    from entity_matching_spark.operators.multimodal import sample_frames
+
+    d = _read(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return sample_frames(payloads, frame_size=32, stride=64, max_frames=8) \
+        .orderBy("doc_id", "frame_idx")
+
+
+def _sql_multimodal_frames(sf: str) -> str:
+    return """
+    WITH frames AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(i * 64 AS BIGINT) AS frame_offset,
+             substr(text, CAST(i * 64 + 1 AS INT), 32) AS chunk
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS i)
+      WHERE i * 64 < length(text)
+    )
+    SELECT doc_id, frame_idx, frame_offset,
+           CAST(length(chunk) AS INT) AS frame_bytes,
+           md5(chunk) AS frame_hash
+    FROM frames ORDER BY doc_id, frame_idx
+    """
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1490,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1520,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _sql_dedup_embedding(sf),
         "doc_fingerprint": _sql_fingerprint(sf),
         "multimodal_features": _sql_multimodal_features(sf),
+        "multimodal_frames": _sql_multimodal_frames(sf),
         "ann_cosine_topk": _sql_ann_cosine_topk(sf),
         "ann_ivf_assign": _sql_ann_ivf_assign(sf),
         "ann_ivf_search": _sql_ann_ivf_search(sf),

@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "em_top_k", "em_connected_components", "em_catalog_match",
     "dedup_minhash_lsh", "dedup_token_jaccard", "dedup_simhash", "dedup_simhash_pairs",
     "doc_fingerprint", "ann_cosine_topk", "ann_ivf_search",
-    "text_quality_score", "text_lang_id", "multimodal_features",
+    "text_quality_score", "text_lang_id", "multimodal_features", "multimodal_frames",
 ]
 
 

@@ -89,3 +89,58 @@ def extract_binary_features(
             yield out
 
     return payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset bigint, frame_bytes int, frame_hash string"
+)
+
+
+def sample_frames(
+    payloads: DataFrame,
+    frame_size: int = 32,
+    stride: int = 64,
+    max_frames: int = 8,
+    decoder: str = "bytes",
+) -> DataFrame:
+    """Frame sampling over opaque media payloads — the ONE-TO-MANY
+    mapInPandas shape (each input row yields up to ``max_frames`` frame
+    rows), which is the batch pattern video frame extraction needs.
+
+    ``decoder="bytes"`` (default) treats every ``stride`` bytes as a frame
+    boundary and hashes a ``frame_size``-byte window — a deterministic
+    stand-in for container-aware parsing (ffmpeg/PyAV are absent in this
+    environment) that keeps the Spark-side concerns real: Arrow batch
+    explosion, per-frame schema, offset bookkeeping, parallelism = scan
+    partitioning. ``decoder="video"`` raises NotImplementedError with the
+    schema a real decoder would fill.
+    """
+    if decoder != "bytes":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: container-aware frame decoding is stubbed "
+            "in this environment (no ffmpeg/PyAV); use decoder='bytes'"
+        )
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_offset": [],
+                "frame_bytes": [], "frame_hash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for idx in range(max_frames):
+                    off = idx * stride
+                    if off >= len(payload):
+                        break
+                    chunk = bytes(payload[off:off + frame_size])
+                    cols["doc_id"].append(doc_id)
+                    cols["frame_idx"].append(idx)
+                    cols["frame_offset"].append(off)
+                    cols["frame_bytes"].append(len(chunk))
+                    cols["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(cols)
+
+    return payloads.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -181,3 +181,35 @@ class TestDedupInvariants:
         }
         assert got == brute
         assert got[(1, 2)] == 0 and got[(1, 5)] == 0  # identical text
+
+
+class TestMultimodalFrames:
+    def test_frame_sampling_shape(self, spark):
+        """One-to-many mapInPandas: per-payload frame rows at fixed strides,
+        short tails kept, null payloads skipped."""
+        import hashlib
+
+        from entity_matching_spark.operators.multimodal import sample_frames
+
+        payload = bytes(range(200))  # 200 bytes -> offsets 0, 64, 128, 192
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, None)], "doc_id long, payload binary"
+        )
+        rows = sorted(
+            sample_frames(df, frame_size=32, stride=64, max_frames=8).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["doc_id"] for r in rows] == [1, 1, 1, 1]  # null payload skipped
+        assert [r["frame_offset"] for r in rows] == [0, 64, 128, 192]
+        assert [r["frame_bytes"] for r in rows] == [32, 32, 32, 8]  # tail short
+        assert rows[0]["frame_hash"] == hashlib.md5(payload[0:32]).hexdigest()
+        assert rows[3]["frame_hash"] == hashlib.md5(payload[192:200]).hexdigest()
+
+    def test_video_decoder_stubbed(self, spark):
+        import pytest as _pytest
+
+        from entity_matching_spark.operators.multimodal import sample_frames
+
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+        with _pytest.raises(NotImplementedError):
+            sample_frames(df, decoder="video")
