@@ -790,7 +790,7 @@ def _sql_dedup_minhash_lsh(sf: str) -> str:
              unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
                     i -> array_to_string(list_slice(arr, i, i + 2), ' '))) AS tok
       FROM arrs
-    ), toks2 AS (SELECT * FROM toks),
+    ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
     h AS (
       SELECT doc_id, i, substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 12) AS hv
       FROM toks2 CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS i)
@@ -808,11 +808,67 @@ def _sql_dedup_minhash_lsh(sf: str) -> str:
     """
 
 
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates confirmed by exact shingle-set Jaccard
+    (operators/dedup.minhash_verified_pairs) — the end-to-end sub-quadratic
+    near-dup recipe: banded LSH generates, exact Jaccard over the same
+    3-word-shingle sets confirms at threshold 0.3. Only candidates are
+    exact-joined, never all pairs."""
+    from entity_matching_spark.operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        _read(spark, sf_dir, "documents"),
+        threshold=0.3, num_hashes=_MINHASH_K, rows_per_band=2, shingle=3,
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_dedup_minhash_verified(sf: str) -> str:
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+      FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+                    i -> array_to_string(list_slice(arr, i, i + 2), ' '))) AS tok
+      FROM arrs
+    ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+    h AS (
+      SELECT doc_id, i, substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 12) AS hv
+      FROM toks2 CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS i)
+    ),
+    sig AS (SELECT doc_id, i, min(hv) AS mh FROM h GROUP BY doc_id, i),
+    band AS (
+      SELECT doc_id, CAST(floor(i / 2) AS INT) AS band,
+             string_agg(CAST(i AS VARCHAR) || ':' || mh, '_' ORDER BY CAST(i AS VARCHAR) || ':' || mh) AS bucket
+      FROM sig GROUP BY doc_id, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_sort(list(tok)) AS arr FROM toks2 GROUP BY doc_id),
+    j AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.arr, sb.arr)) AS inter,
+             len(sa.arr) AS sz_a, len(sb.arr) AS sz_b
+      FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 9) AS jaccard
+    FROM j
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.3
+    ORDER BY doc_a, doc_b
+    """
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (operators/dedup.simhash_signatures) — 32-bit signature from
+    """SimHash (operators/dedup.simhash_signatures) — 60-bit signature from
     md5-derived per-token bit vectors, native Spark bit arithmetic (conv +
-    shiftright). DuckDB reproduces the exact signatures via the '0x'||hex ->
-    BIGINT cast (the md5 hash family is engine-independent)."""
+    shiftright). 60 bits keeps the value positive in signed BIGINT; DuckDB
+    reproduces the exact signatures via the '0x'||hex -> BIGINT cast (the
+    md5 hash family is engine-independent)."""
     from entity_matching_spark.operators.dedup import simhash_signatures
 
     return simhash_signatures(_read(spark, sf_dir, "documents")).orderBy("doc_id")
@@ -824,11 +880,11 @@ def _sql_dedup_simhash(sf: str) -> str:
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
     hv AS (
-      SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks2
+      SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks2
     ),
     bits AS (
       SELECT doc_id, bit, ((hv >> bit) & 1) * 2 - 1 AS contrib
-      FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+      FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
     ),
     sig AS (
       SELECT doc_id, bit, CASE WHEN SUM(contrib) > 0 THEN 1 ELSE 0 END AS b
@@ -995,14 +1051,17 @@ def _sql_ann_ivf_search(sf: str) -> str:
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (operators/dedup.simhash_near_dup_pairs):
-    byte-band blocked candidates (pigeonhole: Hamming<=3 implies one shared
-    byte of the 32-bit signature), exact popcount-of-xor filter. All native
-    bit arithmetic; DuckDB reproduces signatures, bands and distances."""
+    15-bit-band blocked candidates (pigeonhole: Hamming<=3 implies one shared
+    band of the 60-bit signature; 32,768 bucket values per band), band-bucket
+    frequency cap (over-cap buckets dropped AND reported), exact
+    popcount-of-xor filter. All native bit arithmetic; DuckDB reproduces
+    signatures, bands, cap and distances."""
     from entity_matching_spark.operators.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(
-        _read(spark, sf_dir, "documents"), max_hamming=3
-    ).orderBy("doc_a", "doc_b")
+    pairs, _dropped = simhash_near_dup_pairs(
+        _read(spark, sf_dir, "documents"), max_hamming=3, bucket_cap=1000
+    )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def _sql_dedup_simhash_pairs(sf: str) -> str:
@@ -1010,10 +1069,10 @@ def _sql_dedup_simhash_pairs(sf: str) -> str:
     WITH toks AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
-    hv AS (SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks2),
+    hv AS (SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks2),
     bits AS (
       SELECT doc_id, bit, ((hv >> bit) & 1) * 2 - 1 AS contrib
-      FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+      FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
     ),
     sig0 AS (
       SELECT doc_id, bit, CASE WHEN SUM(contrib) > 0 THEN 1 ELSE 0 END AS b
@@ -1023,14 +1082,21 @@ def _sql_dedup_simhash_pairs(sf: str) -> str:
       SELECT doc_id, CAST(SUM(b * (1::BIGINT << bit)) AS BIGINT) AS simhash
       FROM sig0 GROUP BY doc_id
     ),
-    keyed AS (
-      SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS byte
+    keyed0 AS (
+      SELECT doc_id, simhash, band, (simhash >> (15 * band)) & 32767 AS bkey
       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    keyed AS (
+      -- band-bucket frequency cap (bucket_cap=1000), mirrors the Spark op
+      SELECT k.* FROM keyed0 k
+      JOIN (
+        SELECT band, bkey FROM keyed0 GROUP BY band, bkey HAVING COUNT(*) <= 1000
+      ) ok USING (band, bkey)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sa, b.simhash AS sb
-      FROM keyed a JOIN keyed b ON a.band = b.band AND a.byte = b.byte
+      FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey
       WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
@@ -1508,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -1547,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(sf),
         "dedup_token_jaccard": _sql_dedup_token_jaccard(sf),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(sf),
+        "dedup_minhash_verified": _sql_dedup_minhash_verified(sf),
         "dedup_simhash": _sql_dedup_simhash(sf),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(sf),
         "dedup_embedding": _sql_dedup_embedding(sf),

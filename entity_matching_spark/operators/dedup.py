@@ -18,8 +18,10 @@ Four scale-graded strategies over a document table ``(doc_id, text, ...)``:
   the sub-quadratic path for corpus-vs-corpus near-dup at 100 TB. The
   md5-derived hash family is engine-independent (DuckDB reproduces the exact
   signatures in the driver oracle).
-- ``simhash_signatures``: 32-bit SimHash per document via native bit
+- ``simhash_signatures``: 60-bit SimHash per document via native bit
   arithmetic — Hamming-distance bucketing for fuzzy near-dup, no Python.
+  60 bits (not 64) keeps the signature positive in a signed BIGINT so the
+  cross-engine DuckDB oracle reproduces it without unsigned-overflow games.
 
 Plus ``fingerprints``: winnowing-style document fingerprint (min hash over
 strided character windows) for container-level dedup and provenance.
@@ -110,7 +112,12 @@ def minhash_lsh_pairs(
             lambda i: F.concat_ws(" ", F.slice(arr, i, shingle)),
         )
     )
-    toks = docs.select(id_col, F.explode(shingles).alias("tok"))
+    # empty/whitespace-only docs yield a single '' shingle (concat_ws over an
+    # empty slice); unfiltered they'd all share one signature and collide into
+    # a mega-bucket in every band -> quadratic spurious candidates. Dropping
+    # '' here excludes empty docs from LSH entirely (exact_duplicates already
+    # groups them).
+    toks = docs.select(id_col, F.explode(shingles).alias("tok")).where(F.col("tok") != "")
     # all k minhashes as PARALLEL aggregate expressions over the (doc,
     # shingle) rows — one groupBy with k min() columns instead of exploding
     # k x rows through the shuffle (the explode formulation was the slowest
@@ -144,15 +151,76 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidates confirmed by EXACT shingle-set Jaccard.
+
+    The end-to-end 100 TB near-dup recipe in one operator: banded-LSH
+    candidate generation (sub-quadratic — ``minhash_lsh_pairs``) followed by
+    an exact Jaccard over the SAME word-shingle sets the signatures
+    summarize, thresholded. Computing Jaccard on the shingle sets (not raw
+    tokens) keeps the confirm step measuring exactly the quantity the LSH
+    S-curve approximates, so ``threshold`` has one consistent meaning across
+    both stages. The exact join touches only LSH candidates, never all
+    pairs, so the quadratic term stays bounded by bucket sizes.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, rows_per_band=rows_per_band,
+        shingle=shingle, text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b").distinct()
+    arr = F.filter(F.split(text_col, " "), lambda t: t != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - (shingle - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, shingle)),
+        )
+    )
+    sets = docs.select(
+        id_col, F.sort_array(F.filter(shingles, lambda t: t != "")).alias("arr")
+    )
+    j = (
+        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")), "doc_a")
+        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("arr_a") + F.size("arr_b") - F.col("inter")), 9),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+SIMHASH_BITS = 60  # positive in signed BIGINT -> engine-portable oracle
+SIMHASH_BANDS = 4  # 4 x 15-bit bands: pigeonhole exact at Hamming <= 3
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << _BAND_BITS) - 1
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, simhash) — 32-bit SimHash from md5-derived per-token bit
-    vectors; all bit arithmetic native (conv + shiftright), no Python."""
+    """(doc_id, simhash) — 60-bit SimHash from md5-derived per-token bit
+    vectors; all bit arithmetic native (conv + shiftright), no Python.
+
+    60 bits = 15 hex chars of md5, so the signature is always positive in a
+    signed 64-bit long and the DuckDB oracle can rebuild it exactly with
+    ``('0x' || substr(md5(tok), 1, 15))::BIGINT``.
+    """
     toks = _tokens(docs, id_col, text_col, [])
-    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    hv = F.conv(F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
     bits = toks.select(
-        id_col, F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), hv.alias("hv")
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        hv.alias("hv"),
     ).select(
         id_col, "bit",
         (F.expr("shiftright(hv, bit) & 1") * 2 - 1).alias("contrib"),
@@ -161,46 +229,73 @@ def simhash_signatures(
         id_col, "bit", (F.col("s") > 0).cast("long").alias("b")
     )
     return sig.groupBy(id_col).agg(
-        F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash")
+        F.sum(F.expr("shiftleft(b, bit)")).alias("simhash")
     )
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance, byte-band blocked.
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int | None = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate pairs by SimHash Hamming distance, 15-bit-band blocked.
 
-    The 32-bit signature splits into 4 bytes; by pigeonhole, any pair within
-    Hamming distance 3 agrees on at least one whole byte, so candidates are
-    pairs sharing (band, byte) — an equi-join, never all-pairs — and the
-    exact popcount-of-xor filter keeps those within ``max_hamming``. For
-    ``max_hamming`` > 3 the byte-band guarantee weakens to a recall
-    heuristic (documented standard SimHash practice). All native bit
-    arithmetic. Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+    The 60-bit signature splits into 4 bands of 15 bits; by pigeonhole, any
+    pair within Hamming distance 3 agrees on at least one whole band, so
+    candidates are pairs sharing (band, bkey) — an equi-join, never
+    all-pairs — and the exact popcount-of-xor filter keeps those within
+    ``max_hamming``. 15-bit bands give 32,768 bucket values per band (the
+    round-2 byte-band design had 256, which saturates ~n²/256 at corpus
+    scale). For ``max_hamming`` > 3 the band guarantee weakens to a recall
+    heuristic (documented standard SimHash practice).
+
+    ``bucket_cap`` bounds the residual hot buckets (boilerplate-heavy
+    corpora collapse many docs onto one signature prefix): band buckets
+    holding more than ``bucket_cap`` docs are excluded from the candidate
+    join and RETURNED, never silently discarded — the same discipline as
+    blocking.generate_pairs' max_block_size and token_jaccard's df_cap.
+    ``bucket_cap=None`` disables the cap (exact mode, used by the
+    brute-force-equality test).
+
+    All native bit arithmetic. Returns ``(pairs, dropped_buckets)``: pairs
+    is (doc_a, doc_b, hamming) with doc_a < doc_b; dropped_buckets is
+    (band, bkey, n_docs) for over-cap buckets.
     """
     sig = simhash_signatures(docs, text_col=text_col, id_col=id_col)
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
-            F.expr(f"(simhash >> {8 * i}) & 255").alias("byte"),
+            F.expr(f"(simhash >> {_BAND_BITS * i}) & {_BAND_MASK}").alias("bkey"),
         )
-        for i in range(4)
+        for i in range(SIMHASH_BANDS)
     ])
     keyed = sig.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
-        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte")
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    a = keyed.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "byte")
-    b = keyed.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "byte")
+    counts = keyed.groupBy("band", "bkey").agg(F.count("*").alias("n_docs"))
+    if bucket_cap is not None:
+        dropped = counts.where(F.col("n_docs") > bucket_cap)
+        keyed = keyed.join(
+            counts.where(F.col("n_docs") <= bucket_cap).select("band", "bkey"),
+            ["band", "bkey"],
+        )
+    else:
+        dropped = counts.where(F.lit(False))
+    a = keyed.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bkey")
+    b = keyed.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bkey")
     cand = (
-        a.join(b, ["band", "byte"]).where(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band", "bkey"]).where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
     )
     ham = F.bit_count(F.expr("sig_a ^ sig_b"))
-    return (
+    pairs = (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return pairs, dropped
 
 
 def embedding_near_dup_pairs(

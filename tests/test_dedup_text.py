@@ -63,13 +63,37 @@ class TestDedup:
         assert (1, 2) in got and (1, 5) in got   # identical text always collides
         assert (1, 4) not in got                 # disjoint text never collides
 
+    def test_minhash_verified_pairs_confirms_with_exact_jaccard(self, docs):
+        """LSH candidates are confirmed by EXACT shingle-set Jaccard: the
+        identical-text pairs score 1.0, sub-threshold candidates are cut."""
+        from entity_matching_spark.operators.dedup import minhash_verified_pairs
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_verified_pairs(docs, threshold=0.9).collect()
+        }
+        assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0 and got[(2, 5)] == 1.0
+        assert all(v >= 0.9 for v in got.values())
+
+    def test_minhash_empty_docs_do_not_collide(self, spark):
+        """Empty/whitespace-only docs must not share a '' shingle signature
+        and flood every band bucket (ADVICE r2)."""
+        from entity_matching_spark.operators.dedup import minhash_lsh_pairs
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, ""), (4, "real text content here")],
+            "doc_id int, text string",
+        )
+        assert minhash_lsh_pairs(df).count() == 0
+
     def test_simhash_identical_text_identical_signature(self, docs):
         from entity_matching_spark.operators.dedup import simhash_signatures
 
         sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
         assert sig[1] == sig[2] == sig[5]
         assert sig[1] != sig[4]
-        assert all(0 <= v < 2**32 for v in sig.values())
+        # 60-bit signature: always positive, fits signed BIGINT
+        assert all(0 <= v < 2**60 for v in sig.values())
 
     def test_fingerprints_stable_and_discriminative(self, docs):
         from entity_matching_spark.operators.dedup import fingerprints
@@ -161,7 +185,7 @@ class TestDedupInvariants:
         assert agg["s"] == docs.count()
 
     def test_simhash_pairs_exact_vs_brute_force(self, spark, docs):
-        """Pigeonhole guarantee: at max_hamming=3 the byte-band candidates
+        """Pigeonhole guarantee: at max_hamming=3 the 15-bit-band candidates
         contain EVERY qualifying pair — the blocked operator must equal the
         brute-force popcount over all signature pairs."""
         from entity_matching_spark.operators.dedup import (
@@ -175,12 +199,31 @@ class TestDedupInvariants:
             for i, a in enumerate(ids) for b in ids[i + 1:]
             if bin(sigs[a] ^ sigs[b]).count("1") <= 3
         }
-        got = {
-            (r["doc_a"], r["doc_b"]): r["hamming"]
-            for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
-        }
+        pairs, dropped = simhash_near_dup_pairs(docs, max_hamming=3, bucket_cap=None)
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+        assert dropped.count() == 0  # exact mode never drops
         assert got == brute
         assert got[(1, 2)] == 0 and got[(1, 5)] == 0  # identical text
+
+    def test_simhash_pairs_bucket_cap_reports_dropped(self, spark):
+        """A hot band bucket over the cap is excluded from the candidate
+        join AND surfaced in the dropped-buckets frame — never silent."""
+        from entity_matching_spark.operators.dedup import (
+            SIMHASH_BANDS, simhash_near_dup_pairs,
+        )
+
+        # identical docs share all 4 band buckets; cap=2 < 3 copies drops them
+        df = spark.createDataFrame(
+            [(i, "same text body here") for i in range(1, 4)] + [(9, "entirely other words")],
+            "doc_id int, text string",
+        )
+        pairs, dropped = simhash_near_dup_pairs(df, max_hamming=3, bucket_cap=2)
+        assert pairs.count() == 0
+        d = dropped.collect()
+        assert len(d) == SIMHASH_BANDS and all(r["n_docs"] == 3 for r in d)
+        # cap above the bucket size: all three identical-doc pairs come back
+        pairs2, dropped2 = simhash_near_dup_pairs(df, max_hamming=3, bucket_cap=3)
+        assert pairs2.count() == 3 and dropped2.count() == 0
 
 
 class TestMultimodalFrames:
