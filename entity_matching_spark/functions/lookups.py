@@ -254,3 +254,37 @@ KNOWN_FUND_MANAGER_DOMAINS = frozenset([
     "wellington.com", "troweprice.com", "franklintempleton.com",
     "invesco.com", "dimensional.com",
 ])
+
+
+def sql_str(s: str) -> str:
+    """Escape a Python string as a Spark SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_str_array(strings) -> "Column":  # noqa: F821
+    """A constant array<string> as ONE ``F.expr`` round trip.
+
+    ``F.lit(list)`` in classic py4j mode still constructs one JVM literal per
+    element (~3 round trips each, ~0.7 ms per trip at plan-authoring time);
+    rendering the whole table into a single SQL string crosses the gateway
+    once regardless of size. The resulting literal is foldable — identical
+    Catalyst plan either way.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr("array(" + ",".join(sql_str(s) for s in strings) + ")")
+
+
+def contains_any_expr(col, needles):
+    """``col`` contains any of ``needles`` — as ONE array literal + exists().
+
+    An N-term ``col.contains(a) | col.contains(b) | ...`` chain costs ~3 py4j
+    round trips per needle at plan-authoring time and builds an N-deep
+    Catalyst Or-tree; the array-literal form is a single round trip and a
+    shallow tree regardless of needle count, with identical evaluation
+    semantics (exists() over a foldable array literal stays inside
+    whole-stage codegen).
+    """
+    from pyspark.sql import functions as F
+
+    return F.exists(sql_str_array(sorted(needles)), lambda n: col.contains(n))

@@ -277,11 +277,13 @@ def extract_fields(df: DataFrame, text_col: str, prefix: str = "",
     # extraction confidence only when the text source is OCR-derived
     # (MultiFormatDocumentExtractor.java:30-62 — ocrConfidence stays 1.0 for
     # born-digital text, which is what transcripts are)
-    out = out.withColumn(f"{p}ocr_confidence", ocr_confidence(t))
+    oc = ocr_confidence(t)
     if cfg.ocr_text_mode:
-        conf = conf * F.col(f"{p}ocr_confidence")
-    out = out.withColumn(f"{p}extraction_confidence", F.least(conf, F.lit(1.0)))
-    return out
+        conf = conf * oc
+    return out.withColumns({
+        f"{p}ocr_confidence": oc,
+        f"{p}extraction_confidence": F.least(conf, F.lit(1.0)),
+    })
 
 
 def detect_entity_type(
@@ -299,15 +301,11 @@ def detect_entity_type(
     catalog records do (raw_fields["short_name"], :90-92).
     """
     p = prefix
+    from ..functions.lookups import contains_any_expr as contains_any
+
     name_l = F.lower(F.coalesce(F.col(f"{p}legal_name"), F.lit("")))
     dom = F.coalesce(F.col(f"{p}email_domain"), F.lit(""))
     fm_present = F.col(f"{p}fund_manager").isNotNull() & (F.col(f"{p}fund_manager") != "")
-
-    def contains_any(col, needles):
-        out = F.lit(False)
-        for n in needles:
-            out = out | col.contains(n)
-        return out
 
     s_fm_field = F.when(fm_present, F.lit(0.95))
     s_name_mf = F.when(contains_any(name_l, L.FUND_MANAGER_INDICATORS), F.lit(0.75))
@@ -368,11 +366,11 @@ def build_records(transcripts: DataFrame, config: MatchConfig | None = None) -> 
             return normalize_doc_text_native(col, udfs["translit"])
     else:
         norm_doc = udfs["norm_doc_text"]
-    conv = conv.withColumn("norm_text", norm_doc(F.col("text")))
-    conv = conv.withColumn(
-        "norm_tax_text",
-        F.when(F.col("tax_text").isNotNull(), norm_doc(F.col("tax_text"))),
-    )
+    conv = conv.withColumns({
+        "norm_text": norm_doc(F.col("text")),
+        "norm_tax_text":
+            F.when(F.col("tax_text").isNotNull(), norm_doc(F.col("tax_text"))),
+    })
 
     # NOTE prefix "taxform_" (not "tax_"): the main record already emits
     # tax_country_code (C10's second pattern fill), which must not collide.
@@ -380,25 +378,22 @@ def build_records(transcripts: DataFrame, config: MatchConfig | None = None) -> 
     rec = extract_fields(rec, "norm_tax_text", prefix="taxform_", config=cfg)
     rec = detect_entity_type(rec, prefix="")
 
-    # normalized name columns used by blocking + scoring (D6/D7/D9 analogs)
-    rec = rec.withColumn("norm_legal_name", udfs["norm_name"]("legal_name"))
-    rec = rec.withColumn(
-        "norm_fund_manager",
-        F.when(F.col("fund_manager").isNotNull(), udfs["norm_fund_manager"]("fund_manager")),
-    )
-    rec = rec.withColumn(
-        "clean_name_key",
-        F.nullif(F.regexp_replace(F.lower(F.coalesce("legal_name", F.lit(""))), "[^a-z0-9]", ""), F.lit("")),
-    )
-    rec = rec.withColumn(
-        "ein_nohyphen",
-        F.when(F.col("ein").isNotNull(), F.regexp_replace("ein", "-", "")),
-    )
+    # normalized name columns used by blocking + scoring (D6/D7/D9 analogs);
+    # one withColumns call — chained withColumn re-analyzes the plan per column
+    rec = rec.withColumns({
+        "norm_legal_name": udfs["norm_name"]("legal_name"),
+        "norm_fund_manager":
+            F.when(F.col("fund_manager").isNotNull(), udfs["norm_fund_manager"]("fund_manager")),
+        "clean_name_key":
+            F.nullif(F.regexp_replace(F.lower(F.coalesce("legal_name", F.lit(""))), "[^a-z0-9]", ""), F.lit("")),
+        "ein_nohyphen":
+            F.when(F.col("ein").isNotNull(), F.regexp_replace("ein", "-", "")),
+        "has_tax": F.col("norm_tax_text").isNotNull(),
+    })
     # the normalized document text is dead weight once extraction has run —
     # dropping it keeps the S1 checkpoint and every downstream shuffle lean
     # (the raw text dominates row size); keep_normalized_text re-enables it
     # for debugging
-    rec = rec.withColumn("has_tax", F.col("norm_tax_text").isNotNull())
     drop = ["turns", "text", "tax_text"]
     if not cfg.keep_normalized_text:
         drop += ["norm_text", "norm_tax_text"]

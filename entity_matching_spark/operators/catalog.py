@@ -79,25 +79,20 @@ def catalog_to_records(catalog: DataFrame, config: MatchConfig | None = None) ->
     from .assemble import detect_entity_type
 
     rec = detect_entity_type(rec, prefix="", short_name_col="short_name")
-    rec = rec.withColumn("norm_legal_name", udfs["norm_name"]("legal_name"))
-    rec = rec.withColumn(
-        "norm_fund_manager",
-        F.when(F.col("fund_manager").isNotNull(), udfs["norm_fund_manager"]("fund_manager")),
-    )
-    # B7 key is the CATALOG's cleaned short_name (sql/findByCleanedShortName.sql)
-    rec = rec.withColumn(
-        "clean_name_key",
-        F.nullif(
+    # one withColumns call: chained withColumn re-analyzes the plan per column
+    return rec.withColumns({
+        "norm_legal_name": udfs["norm_name"]("legal_name"),
+        "norm_fund_manager":
+            F.when(F.col("fund_manager").isNotNull(), udfs["norm_fund_manager"]("fund_manager")),
+        # B7 key is the CATALOG's cleaned short_name (sql/findByCleanedShortName.sql)
+        "clean_name_key": F.nullif(
             F.regexp_replace(F.lower(F.coalesce("short_name", "legal_name", F.lit(""))),
                              "[^a-z0-9]", ""),
             F.lit(""),
         ),
-    )
-    rec = rec.withColumn(
-        "ein_nohyphen",
-        F.when(F.col("ein").isNotNull(), F.regexp_replace("ein", "-", "")),
-    )
-    return rec
+        "ein_nohyphen":
+            F.when(F.col("ein").isNotNull(), F.regexp_replace("ein", "-", "")),
+    })
 
 
 def match_records_to_catalog(
