@@ -29,7 +29,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_er_pipeline(spark, n_families: int) -> dict:
+def calibrate_host(n_pairs: int = 200_000, reps: int = 3) -> dict:
+    """Bare-numpy JW-kernel throughput on a fixed deterministic workload —
+    the host-speed yardstick printed alongside every bench run.
+
+    This box swings 2-3.5x between sessions on memory-bandwidth-bound work
+    (measured round 1-2; VERDICT r2 bisected a '4x regression' to exactly
+    this). Dividing any bench number by the same-session calibration factor
+    makes cross-session comparisons meaningful; same-session A/B
+    (tools/bench_ab.py) remains the gold standard.
+    """
+    import random
+
+    from entity_matching_spark.functions.similarity import (
+        encode_strings, jaro_winkler_encoded,
+    )
+
+    rng = random.Random(42)
+    words = ["capital", "global", "fund", "partners", "asset", "mgmt",
+             "holdings", "trust", "bank", "advisors", "group", "intl"]
+    names_a = [" ".join(rng.choices(words, k=rng.randint(2, 5))) for _ in range(n_pairs)]
+    names_b = [" ".join(rng.choices(words, k=rng.randint(2, 5))) for _ in range(n_pairs)]
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        ea, eb = encode_strings(names_a), encode_strings(names_b)
+        jaro_winkler_encoded(ea, eb)
+        best = max(best, n_pairs / (time.time() - t0))
+    return {"jw_pairs_per_sec": round(best, 0), "n_pairs": n_pairs, "reps": reps}
+
+
+def run_er_pipeline(spark, n_families: int, transcripts=None) -> dict:
     """Run the PRODUCTION pipeline path (plans/pipeline.py with parquet stage
     checkpoints) into a fresh work dir; stage timings come from the lineage
     manifests, so the benchmark measures exactly what a cluster run does.
@@ -44,11 +74,12 @@ def run_er_pipeline(spark, n_families: int) -> dict:
 
     t0 = time.time()
     pre = os.environ.get("EM_BENCH_TRANSCRIPTS")
-    if pre:
-        transcripts = spark.read.parquet(pre)
-    else:
-        pdf, _ = generate_corpus(n_families=n_families)
-        transcripts = transcripts_to_spark(spark, pdf).localCheckpoint()
+    if transcripts is None:
+        if pre:
+            transcripts = spark.read.parquet(pre)
+        else:
+            pdf, _ = generate_corpus(n_families=n_families)
+            transcripts = transcripts_to_spark(spark, pdf).localCheckpoint()
     n_turns = transcripts.count()
     gen_s = time.time() - t0
 
@@ -124,9 +155,28 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     t_total = time.time()
-    log(f"[bench] ER pipeline: {n_families} families, local[{cpus}]")
-    er = run_er_pipeline(spark, n_families)
-    log(f"[bench] ER done: {er}")
+    cal = calibrate_host()
+    log(f"[bench] host calibration: {cal}")
+
+    # best-of-k ER runs: single cold runs on this box are contaminated by
+    # host-speed swings (VERDICT r2); k>=2 with best-of reported is the
+    # round-over-round comparable number, er_runs keeps the raw samples
+    er_k = int(os.environ.get("EM_BENCH_ER_RUNS", "2"))
+    log(f"[bench] ER pipeline: {n_families} families, local[{cpus}], best of {er_k}")
+    # generate the corpus ONCE; every run measures the pipeline, not the gen
+    from entity_matching_spark.sources.synth import generate_corpus, transcripts_to_spark
+
+    if os.environ.get("EM_BENCH_TRANSCRIPTS"):
+        shared_transcripts = None  # run_er_pipeline reads the parquet itself
+    else:
+        pdf, _ = generate_corpus(n_families=n_families)
+        shared_transcripts = transcripts_to_spark(spark, pdf).localCheckpoint()
+    er_runs = []
+    for i in range(er_k):
+        r = run_er_pipeline(spark, n_families, transcripts=shared_transcripts)
+        log(f"[bench] ER run {i}: {r}")
+        er_runs.append(r)
+    er = max(er_runs, key=lambda r: r["pairs_scored_per_sec"])
 
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
@@ -148,6 +198,9 @@ def main() -> int:
         "total_wall_sec": total,
         "cpus": cpus,
         "er": er,
+        "er_runs": [r["pairs_scored_per_sec"] for r in er_runs],
+        "er_best_of": er_k,
+        "calibration": cal,
     }
     print(json.dumps(out))
     return 0
