@@ -210,11 +210,15 @@ def _prepare_sides(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     # Window count on the records table (null keys get singleton partitions)
     # — one records-sized shuffle instead of broadcasting a key-counts table
     # that grows with the data (driver bottleneck at scale).
-    wk = Window.partitionBy(F.coalesce("clean_name_key", "conv_id"))
-    rec = rec.withColumn(
-        "shortname_dup",
-        F.col("clean_name_key").isNotNull() & (F.count("*").over(wk) > 1),
-    )
+    # A caller that already knows the answer (streaming keeps an incremental
+    # key-counts table; a pre-filtered subset would under-count) passes the
+    # column in and the corpus-sized window is skipped entirely.
+    if "shortname_dup" not in rec.columns:
+        wk = Window.partitionBy(F.coalesce("clean_name_key", "conv_id"))
+        rec = rec.withColumn(
+            "shortname_dup",
+            F.col("clean_name_key").isNotNull() & (F.count("*").over(wk) > 1),
+        )
     cols = SIDE_COLS + ["shortname_dup"]
     a = rec.select([F.col(c).alias(f"{c}_a" if c != "conv_id" else "conv_id_a") for c in cols])
     b = rec.select([F.col(c).alias(f"{c}_b" if c != "conv_id" else "conv_id_b") for c in cols])

@@ -67,7 +67,12 @@ def incremental_records(
         if batch_df.isEmpty():
             return
         records = build_records(batch_df, cfg)
-        records.write.mode("append").parquet(output_path)
+        # foreachBatch is at-least-once: a replayed micro-batch under plain
+        # mode('append') double-appends. Deterministic per-batch partition
+        # overwrite makes the replay a no-op rewrite (same discipline as
+        # incremental_match._write); readers see batch_id as a discovered
+        # partition column.
+        records.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
@@ -164,6 +169,20 @@ def stateful_assembly(
     return writer.start()
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Probe a path through Spark's Hadoop filesystem layer.
+
+    A driver-local ``os.path.exists`` is always False for non-local work
+    dirs (s3://, hdfs://), which would silently skip batch-vs-corpus
+    matching forever — wrong results with no error. The Hadoop FS resolves
+    whatever scheme the path carries.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def incremental_match(
     spark: SparkSession,
     input_path: str,
@@ -183,22 +202,29 @@ def incremental_match(
 
     1. assemble + extract the batch's conversations (build_records);
     2. blocking keys for the batch records — the corpus's keys are READ from
-       the persisted keys table, not recomputed, so per-batch work is
-       O(batch x matching-group), independent of corpus size;
+       the persisted keys table, not recomputed;
     3. candidate pairs = batch-vs-corpus cross join on shared keys
        (blocking.generate_cross_pairs — no corpus-corpus re-pairing) PLUS
        the batch's internal self-pairs (two new conversations can match
        each other);
-    4. score_pairs over the union, append decisions to ``matches``;
-    5. append the batch's records and keys to the corpus tables.
+    4. score_pairs over the PAIR PARTICIPANTS ONLY: the corpus records
+       table is semi-joined to the pairs' conv_ids before any scoring, and
+       the I13 ``shortname_dup`` input comes from an incrementally-updated
+       ``key_counts`` table (per-batch deltas, summed on read) instead of a
+       corpus-wide window — so every SHUFFLE in the scoring stage is
+       O(batch-adjacent), never O(corpus). The remaining corpus-sized work
+       per batch is the columnar parquet scan feeding the two semi-joined
+       reads (keys for cross-pairing, records for side columns) — at scale
+       that is the cost of not maintaining a key-value index, and the scan
+       prunes to the selected columns;
+    5. write the batch's matches, records, keys, and key-count deltas to
+       their per-batch partitions.
 
     The sorted-neighborhood pass is excluded (it needs a global sort — that
     is the batch-recompute path's job); identifier/name-token/email keys are
     incremental by construction. Output tables under ``work_dir``:
-    ``records``, ``keys``, ``matches``.
+    ``records``, ``keys``, ``matches``, ``key_counts``.
     """
-    import os
-
     from ..operators.assemble import build_records
     from ..operators.blocking import generate_blocking_keys, generate_cross_pairs, generate_pairs
     from ..operators.score import SIDE_COLS, score_pairs
@@ -211,9 +237,12 @@ def incremental_match(
         cfg,
         blocking_passes=tuple(p for p in cfg.blocking_passes if p != "sorted_neighborhood"),
     )
-    records_path = os.path.join(work_dir, "records")
-    keys_path = os.path.join(work_dir, "keys")
-    matches_path = os.path.join(work_dir, "matches")
+    # plain string joins, not os.path.join: the work dir may be a URI
+    # (s3://, hdfs://) and these paths only ever cross the Hadoop FS layer
+    records_path = f"{work_dir}/records"
+    keys_path = f"{work_dir}/keys"
+    matches_path = f"{work_dir}/matches"
+    key_counts_path = f"{work_dir}/key_counts"
 
     def _write(df: DataFrame, base: str, batch_id: int):
         # Idempotent under micro-batch REPLAY: foreachBatch offers
@@ -222,22 +251,35 @@ def incremental_match(
         # partition directory with overwrite makes the replay a no-op
         # rewrite; readers see batch_id as a discovered partition column
         # (dropped by the SIDE_COLS/SCORED_COLS projections).
-        df.write.mode("overwrite").parquet(os.path.join(base, f"batch_id={batch_id}"))
+        df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         batch_records = build_records(batch_df, cfg).localCheckpoint()
         batch_keys = generate_blocking_keys(batch_records, cfg).localCheckpoint()
+        # this batch's clean-name-key delta counts (I13 state increment)
+        batch_counts = (
+            batch_records.where(F.col("clean_name_key").isNotNull())
+            .groupBy("clean_name_key").agg(F.count("*").alias("n"))
+        )
 
         pairs, _dropped = generate_pairs(batch_keys, cfg)
-        have_corpus = os.path.exists(records_path)
+        have_corpus = _fs_exists(spark, records_path)
         if have_corpus:
             # exclude any replayed copy of THIS batch from the corpus side
             corpus_keys = spark.read.parquet(keys_path).where(F.col("batch_id") != batch_id)
             cross, _dropped2 = generate_cross_pairs(batch_keys, corpus_keys, cfg)
             pairs = pairs.unionByName(cross).dropDuplicates(["conv_id_a", "conv_id_b"])
+        pairs = pairs.localCheckpoint()  # pair set is reused for participants + scoring
 
+        # restrict the sides table to PAIR PARTICIPANTS before any scoring
+        # work — without this, _prepare_sides shuffles the whole corpus
+        participants = (
+            pairs.select(F.col("conv_id_a").alias("conv_id"))
+            .unionByName(pairs.select(F.col("conv_id_b").alias("conv_id")))
+            .distinct()
+        )
         sides = batch_records.select(*SIDE_COLS)
         if have_corpus:
             corpus_sides = (
@@ -245,18 +287,41 @@ def incremental_match(
                 .where(F.col("batch_id") != batch_id).select(*SIDE_COLS)
             )
             sides = sides.unionByName(corpus_sides)
+        sides = sides.join(participants, "conv_id", "semi")
+
+        # I13 shortname_dup from the ACCUMULATED key counts (prior deltas +
+        # this batch), not a corpus-wide window: same semantics as the batch
+        # path's count-over-all-records, O(distinct keys) per batch
+        counts = batch_counts
+        if have_corpus and _fs_exists(spark, key_counts_path):
+            prior = (
+                spark.read.parquet(key_counts_path)
+                .where(F.col("batch_id") != batch_id).select("clean_name_key", "n")
+            )
+            counts = (
+                counts.unionByName(prior)
+                .groupBy("clean_name_key").agg(F.sum("n").alias("n"))
+            )
+        dup_keys = counts.where(F.col("n") > 1).select(
+            "clean_name_key", F.lit(True).alias("shortname_dup")
+        )
+        sides = sides.join(dup_keys, "clean_name_key", "left").withColumn(
+            "shortname_dup", F.coalesce("shortname_dup", F.lit(False))
+        )
+
         scored = score_pairs(sides, pairs, cfg)
         _write(scored.select(*SCORED_COLS), matches_path, batch_id)
 
         _write(batch_records, records_path, batch_id)
         _write(batch_keys, keys_path, batch_id)
+        _write(batch_counts, key_counts_path, batch_id)
 
     stream = spark.readStream.schema(TRANSCRIPT_DDL)
     if max_files_per_trigger:
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
     src = stream.parquet(input_path).withWatermark("ts", watermark)
     writer = src.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", os.path.join(work_dir, "_stream_checkpoint")
+        "checkpointLocation", f"{work_dir}/_stream_checkpoint"
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -149,3 +149,61 @@ class TestIncrementalMatch:
         q2.awaitTermination(120)
         assert spark.read.parquet(wd + "/records").count() == 3
         assert spark.read.parquet(wd + "/matches").count() == matches.count()
+
+        # I13 state: the clean-name-key counts accumulated incrementally
+        # (per-batch deltas), and the cross-batch pair carries the
+        # POTENTIAL_DUPLICATE_SHORT_NAME flag that only the ACCUMULATED
+        # count (batch-1 corpus + batch-2 arrival) can produce
+        kc = spark.read.parquet(wd + "/key_counts")
+        import pyspark.sql.functions as F
+
+        total = kc.groupBy("clean_name_key").agg(F.sum("n").alias("n")).collect()
+        assert {r["clean_name_key"]: r["n"] for r in total} == {"quiettimberworksllc": 3}
+        cross = spark.read.parquet(wd + "/matches").where(
+            (F.col("conv_id_a") == "convB") | (F.col("conv_id_b") == "convB")
+        )
+        flags = {
+            d["type"] for r in cross.select("discrepancies").collect() for d in r[0]
+        }
+        assert "POTENTIAL_DUPLICATE_SHORT_NAME" in flags
+
+
+class TestIncrementalScoringIsBatchSized:
+    def test_precomputed_shortname_dup_skips_corpus_window(self, spark):
+        """score_pairs with a caller-supplied shortname_dup column must not
+        plan the records-wide window (the O(corpus)-shuffle incremental_match
+        used to pay per micro-batch) and must honor the supplied flag."""
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.operators.score import SIDE_COLS, score_pairs
+
+        base = {c: None for c in SIDE_COLS}
+        rows = []
+        for cid in ("c1", "c2"):
+            r = dict(base)
+            r.update(conv_id=cid, mei="US00000011", legal_name="Acme LLC",
+                     norm_legal_name="acme", clean_name_key="acmellc",
+                     ein_nohyphen=None, has_tax=False)
+            rows.append(r)
+        ddl = ("conv_id string, mei string, lei string, ein string, "
+               "ein_nohyphen string, debt_domain_id string, email_domain string, "
+               "legal_name string, norm_legal_name string, clean_name_key string, "
+               "fund_manager string, norm_fund_manager string, dba string, "
+               "country_code string, tax_country_code string, "
+               "taxform_legal_name string, taxform_ein string, taxform_lei string, "
+               "taxform_mei string, taxform_debt_domain_id string, "
+               "taxform_country_code string, has_tax boolean, shortname_dup boolean")
+        recs = spark.createDataFrame(
+            [tuple({**r, "shortname_dup": True}.get(k.split()[0]) for k in ddl.split(", "))
+             for r in rows],
+            ddl,
+        )
+        pairs = spark.createDataFrame(
+            [("c1", "c2", "IDENTIFIER", "mei", "US00000011")],
+            "conv_id_a string, conv_id_b string, strategy string, pass string, block_key string",
+        )
+        scored = score_pairs(recs, pairs)
+        plan = scored._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan  # corpus-wide count window skipped
+        row = scored.collect()[0]
+        assert "POTENTIAL_DUPLICATE_SHORT_NAME" in {d["type"] for d in row["discrepancies"]}
