@@ -1178,6 +1178,135 @@ def _sql_ann_ivf_recall(sf: str) -> str:
     """
 
 
+# k-means training setup: k=8 coarse centroids, 3 Lloyd's iterations,
+# deterministic init (k smallest vec_ids), per-iteration 6-dp rounding
+_KM_K = 8
+_KM_ITER = 3
+
+
+def _sql_kmeans_ctes() -> str:
+    """Unrolled Lloyd's iterations as a DuckDB CTE chain u0..u{n}, each in
+    (centroid_id, pos, val) pair form. Mirrors operators/ann.kmeans_centroids
+    exactly: cosine argmax assignment (dot/|c| ordering — |v| is constant per
+    vector and cannot change the argmax), per-dimension mean rounded to 6dp,
+    empty cells keeping their previous centroid."""
+    parts = [f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dims AS (SELECT max(len(emb)) AS m FROM v),
+    idx AS (SELECT unnest(generate_series(1, (SELECT m FROM dims))) AS i),
+    vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS n
+           FROM (SELECT vec_id, unnest(emb) AS x FROM v) GROUP BY vec_id),
+    u0 AS (
+      SELECT c.centroid_id, idx.i - 1 AS pos, c.emb[idx.i] AS val
+      FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id, emb
+            FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_KM_K})) c, idx
+      WHERE idx.i <= len(c.emb)
+    )"""]
+    for t in range(1, _KM_ITER + 1):
+        p = f"u{t - 1}"
+        parts.append(f"""
+    cn{t} AS (SELECT centroid_id, sqrt(SUM(val * val)) AS n FROM {p} GROUP BY centroid_id),
+    a{t} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT d.vec_id, d.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                 ORDER BY d.dot / (vn.n * cn{t}.n) DESC, d.centroid_id ASC) AS r
+        FROM (SELECT v.vec_id, u.centroid_id, SUM(v.emb[u.pos + 1] * u.val) AS dot
+              FROM v, {p} u GROUP BY 1, 2) d
+        JOIN vn USING (vec_id) JOIN cn{t} USING (centroid_id)
+      ) WHERE r = 1
+    ),
+    m{t} AS (
+      SELECT a.centroid_id, idx.i - 1 AS pos, round(avg(v.emb[idx.i]), 6) AS val
+      FROM a{t} a JOIN v USING (vec_id), idx
+      WHERE idx.i <= len(v.emb)
+      GROUP BY 1, 2
+    ),
+    u{t} AS (
+      SELECT * FROM m{t}
+      UNION ALL
+      SELECT * FROM {p}
+      WHERE centroid_id NOT IN (SELECT DISTINCT centroid_id FROM a{t})
+    )""")
+    return ",".join(parts)
+
+
+def q_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means centroid training
+    (operators/ann.kmeans_centroids) — completes the ANN/IVF family from raw
+    embeddings. Init = k smallest vec_ids (no RNG); every updated coordinate
+    rounds to 6dp so float summation-order noise cannot leak into the
+    result: fixed input -> bit-identical centroids, which is exactly what
+    the DuckDB oracle (unrolled Lloyd's iterations) checks. Output exploded
+    to scalar (centroid_id, pos, val) rows."""
+    from entity_matching_spark.operators.ann import kmeans_centroids
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=_KM_K, n_iter=_KM_ITER)
+    return cents.select(
+        "centroid_id", F.posexplode("cemb").alias("pos", "val")
+    ).orderBy("centroid_id", "pos")
+
+
+def _sql_ann_kmeans_train(sf: str) -> str:
+    return f"""
+    WITH {_sql_kmeans_ctes()}
+    SELECT CAST(centroid_id AS INT) AS centroid_id, CAST(pos AS INT) AS pos, val
+    FROM u{_KM_ITER} ORDER BY centroid_id, pos
+    """
+
+
+def q_ann_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF search run over TRAINED centroids (kmeans_centroids
+    -> ivf_topk -> ivf_recall) — the end-to-end self-contained ANN story:
+    raw embeddings in, quality-measured approximate search out."""
+    from entity_matching_spark.operators.ann import (
+        brute_force_topk, ivf_recall, ivf_topk, kmeans_centroids,
+    )
+
+    e, _, probes = _ann_parts(spark, sf_dir)
+    cents = kmeans_centroids(e, k=_KM_K, n_iter=_KM_ITER)
+    exact = brute_force_topk(e, probes, _ANN_K)
+    ivf = ivf_topk(e, cents, probes, _ANN_K, _ANN_NPROBE)
+    return ivf_recall(ivf, exact, _ANN_K).orderBy("probe_id")
+
+
+def _sql_ann_ivf_recall_trained(sf: str) -> str:
+    return f"""
+    WITH {_sql_kmeans_ctes()},
+    cents AS (
+      SELECT centroid_id, list(val ORDER BY pos) AS cemb
+      FROM u{_KM_ITER} GROUP BY centroid_id
+    ),
+    probes AS ({_SQL_ANN_PROBES}),
+    assign AS ({_SQL_ANN_ASSIGN}),
+    {_SQL_ANN_IVF_TOPK},
+    exact_sims AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM probes, embeddings e WHERE e.vec_id <> probe_id
+    ),
+    exact_topk AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM exact_sims
+      ) WHERE rank <= {_ANN_K}
+    ),
+    hits AS (
+      SELECT e.probe_id, COUNT(*) AS n_hits
+      FROM exact_topk e JOIN ivf_topk i
+        ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
+    )
+    SELECT p.probe_id,
+           COALESCE(n_hits, 0) AS n_hits,
+           round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / {_ANN_K}, 6) AS recall
+    FROM (SELECT DISTINCT probe_id FROM exact_topk) p LEFT JOIN hits USING (probe_id)
+    ORDER BY probe_id
+    """
+
+
 # ===========================================================================
 # Training-data ops — text analysis
 # ===========================================================================
@@ -1583,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_search": q_ann_ivf_search,
+        "ann_kmeans_train": q_ann_kmeans_train,
+        "ann_ivf_recall_trained": q_ann_ivf_recall_trained,
         "ann_ivf_recall": q_ann_ivf_recall,
         "text_token_stats": q_token_stats,
         "text_quality_score": q_quality_score,
@@ -1625,6 +1756,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assign": _sql_ann_ivf_assign(sf),
         "ann_ivf_search": _sql_ann_ivf_search(sf),
         "ann_ivf_recall": _sql_ann_ivf_recall(sf),
+        "ann_kmeans_train": _sql_ann_kmeans_train(sf),
+        "ann_ivf_recall_trained": _sql_ann_ivf_recall_trained(sf),
         "text_token_stats": _sql_token_stats(sf),
         "text_quality_score": _sql_quality_score(sf),
         "text_lang_id": _sql_lang_id(sf),

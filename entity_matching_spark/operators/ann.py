@@ -116,6 +116,76 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Train IVF coarse centroids with deterministic distributed Lloyd's
+    iterations: (centroid_id, cemb).
+
+    Completes the ANN family from raw embeddings (previously the centroid
+    table was an input the pipeline couldn't make). Each iteration is the
+    classic two-step Spark shape:
+
+    - ASSIGN: |V| x k cosine scan against the broadcast centroids (reuses
+      ``assign_cells`` — no shuffle until the argmax window on vec_id);
+    - UPDATE: posexplode + groupBy (centroid_id, dim) mean — one shuffle of
+      |V| x dims skinny rows per iteration; empty cells keep their previous
+      centroid.
+
+    Determinism pin: init is the ``k`` vectors with the SMALLEST ids (no
+    RNG), and every updated centroid coordinate is rounded to ``round_dp``
+    decimals — float summation order differs across partitions and engines,
+    and the rounding quantizes that noise away, making the trained centroids
+    exactly reproducible (fixed input -> bit-identical output, DuckDB
+    oracle-checkable). k-means|| seeding would be the production choice for
+    quality; first-k-by-id keeps the training run replayable and testable,
+    which the 100 TB pipeline needs more (the IVF recall metric measures the
+    quality impact either way).
+
+    Lineage is truncated per iteration (localCheckpoint on the k x 1 table)
+    so the plan does not deepen with ``n_iter`` — same discipline as the
+    connected-components loop (operators/cluster.py).
+    """
+    cents = (
+        vectors.orderBy(id_col).limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
+            _emb(emb_col).alias("cemb"),
+        )
+    )
+    for _ in range(n_iter):
+        assign = assign_cells(
+            vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")),
+            cents,
+        )
+        dims = (
+            assign.join(
+                vectors.select(F.col(id_col).alias("vec_id"), _emb(emb_col).alias("e")),
+                "vec_id",
+            )
+            .select("centroid_id", F.posexplode("e").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("v"), round_dp).alias("v"))
+        )
+        updated = dims.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("cemb")
+        )
+        cents = (
+            cents.select("centroid_id", F.col("cemb").alias("prev"))
+            .join(updated, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("cemb", "prev").alias("cemb"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_recall(ivf: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Per-probe recall@k of the IVF result against the exact baseline:
     (probe_id, n_hits, recall)."""

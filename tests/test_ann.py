@@ -66,6 +66,49 @@ class TestAnn:
         assert got[3] == 0
 
 
+class TestKMeansTraining:
+    def test_converges_to_cluster_means_and_is_deterministic(self, spark):
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.operators.ann import assign_cells, kmeans_centroids
+
+        # two tight blobs on the unit circle, well separated (~0 deg and ~180
+        # deg); k=2 with first-k-by-id init seeds one centroid in each blob
+        rows = [(i, [1.0 + 0.001 * i, 0.001 * i]) for i in range(6)]
+        rows += [(10 + i, [-1.0 - 0.001 * i, 0.001 * i]) for i in range(6)]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+        # init = vec_id 0 and 1 (both in blob A): blob B all assigns to the
+        # marginally-closer seed, whose mean then moves across to blob B
+        cents = kmeans_centroids(vecs, k=2, n_iter=4)
+        got = sorted(map(tuple, cents.select("centroid_id", "cemb").collect()))
+        assert [c for c, _ in got] == [0, 1]
+        # determinism: a second run is bit-identical (6-dp rounding pin)
+        again = sorted(map(tuple, kmeans_centroids(vecs, k=2, n_iter=4).collect()))
+        assert got == again
+        # after convergence every vector's nearest trained centroid groups the
+        # blobs consistently: each blob lands wholly in one cell
+        assign = assign_cells(vecs, cents).collect()
+        by_blob = {}
+        for r in assign:
+            by_blob.setdefault(r["vec_id"] >= 10, set()).add(r["centroid_id"])
+        assert all(len(cells) == 1 for cells in by_blob.values())
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from entity_matching_spark.operators.ann import kmeans_centroids
+
+        # 3 identical vectors, k=3: after assignment everything lands in cell
+        # 0 (argmax tie -> lowest centroid_id); cells 1 and 2 get no members
+        # and must keep their init value instead of vanishing or going null
+        vecs = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(3)], "vec_id int, embedding array<float>"
+        )
+        cents = kmeans_centroids(vecs, k=3, n_iter=2)
+        rows = {r["centroid_id"]: r["cemb"] for r in cents.collect()}
+        assert sorted(rows) == [0, 1, 2]
+        assert all(v is not None and len(v) == 2 for v in rows.values())
+
+
 class TestEmbeddingNearDup:
     def test_cell_blocked_threshold_pairs(self, vectors, parts):
         from entity_matching_spark.operators.dedup import embedding_near_dup_pairs
