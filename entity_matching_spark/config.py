@@ -100,10 +100,13 @@ class MatchConfig:
 
     # --- decision / output
     top_k_matches: int = 5             # MatchingEngine.java:153-155
-    # catalog mode: per-probe cap on FUZZY_NAME candidates (sql/findByName.sql
-    # LIMIT 100); 0 disables. Self-linkage pairs are symmetric, so the cap is
-    # applied only where a probe role exists (operators/catalog.py).
+    # per-probe cap on FUZZY_NAME candidates (sql/findByName.sql LIMIT 100);
+    # 0 disables. Catalog mode applies it per probe (operators/catalog.py);
+    # the batch self-linkage path applies the symmetric variant (a pair is
+    # kept if within EITHER endpoint's top-n — both endpoints are probes,
+    # operators/blocking.cap_fuzzy_fanout) when cap_fuzzy_self_linkage is on.
     max_candidates_per_probe: int = 100
+    cap_fuzzy_self_linkage: bool = True
 
     def params_hash(self) -> str:
         """Stable hash of the config for checkpoint identity."""

@@ -272,6 +272,57 @@ def cap_candidates_per_probe(pairs: DataFrame, config: MatchConfig | None = None
     return pairs.where(~is_fuzzy).unionByName(fuzzy)
 
 
+def cap_fuzzy_fanout(
+    pairs: DataFrame, config: MatchConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Symmetric per-record cap on fuzzy-name candidates for the SELF-LINKAGE
+    pair set — the batch-path analog of ``cap_candidates_per_probe``.
+
+    In self-linkage every record is a probe, and a pair (a, b) would be
+    produced by probing a (finds b) OR probing b (finds a); the reference
+    keeps a candidate that survives either probe's ``LIMIT 100``
+    (sql/findByName.sql:8-10), so the pair is KEPT if it ranks within the
+    top-``max_candidates_per_probe`` of EITHER endpoint's candidate list.
+    Ordering per endpoint mirrors ``cap_candidates_per_probe``: blocking-pass
+    precedence (the exact cleaned-short-name pass ahead of token /
+    sorted-neighborhood, the reference's exact/exact-short/ELSE tiering),
+    then (block_key, other-id) for determinism.
+
+    Returns ``(kept, dropped)``; dropped pairs are reported, never silently
+    discarded (same discipline as ``generate_pairs``'s hot-key profile).
+    Identifier and email pairs pass through uncapped — the reference's
+    identifier lookups have no LIMIT. Cost: two window shuffles over the
+    FUZZY_NAME subset only, each partitioned by a record id, so no global
+    sort and no unbounded partition: a record's candidate list is already
+    bounded by sum-of-its-block-sizes <= n_keys x max_block_size.
+    """
+    cfg = config or DEFAULT_CONFIG
+    n = getattr(cfg, "max_candidates_per_probe", 0)
+    is_fuzzy = F.col("strategy") == "FUZZY_NAME"
+    if not n:
+        return pairs, pairs.where(is_fuzzy).limit(0)
+    rank_map = F.create_map(
+        *[F.lit(x) for name, (rank, _) in BLOCKING_PASSES.items() for x in (name, rank)]
+    )
+    wa = Window.partitionBy("conv_id_a").orderBy(
+        rank_map[F.col("pass")].asc(), F.col("block_key"), F.col("conv_id_b")
+    )
+    wb = Window.partitionBy("conv_id_b").orderBy(
+        rank_map[F.col("pass")].asc(), F.col("block_key"), F.col("conv_id_a")
+    )
+    ranked = (
+        pairs.where(is_fuzzy)
+        .withColumns({
+            "_ra": F.row_number().over(wa),
+            "_rb": F.row_number().over(wb),
+        })
+    )
+    keep = (F.col("_ra") <= n) | (F.col("_rb") <= n)
+    kept = ranked.where(keep).drop("_ra", "_rb")
+    dropped = ranked.where(~keep).drop("_ra", "_rb")
+    return pairs.where(~is_fuzzy).unionByName(kept), dropped
+
+
 def profile_block_keys(keys: DataFrame) -> DataFrame:
     """Key-frequency profile: (pass, key, n_records, n_pairs). Hot-key radar."""
     return keys.groupBy("pass", "key").agg(

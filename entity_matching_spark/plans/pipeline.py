@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT_CONFIG, MatchConfig
 from ..operators.assemble import build_records
-from ..operators.blocking import generate_blocking_keys, generate_pairs, profile_block_keys
+from ..operators.blocking import (
+    cap_fuzzy_fanout, generate_blocking_keys, generate_pairs, profile_block_keys,
+)
 from ..operators.cluster import assign_clusters, connected_components
 from ..operators.score import match_edges, score_pairs
 from .checkpoint import StageCheckpointer
@@ -57,6 +59,7 @@ class PipelineResult:
     components: DataFrame
     clusters: DataFrame
     dropped_keys: DataFrame
+    dropped_candidates: DataFrame
     quarantine: DataFrame
     metrics: list
 
@@ -118,6 +121,13 @@ def run_pipeline(
         pairs, dropped = generate_pairs(keys, cfg)
         # dropped hot keys are surfaced, never silently discarded
         ck.write("s2_dropped_keys", dropped, h, _upstream(["s1_records"]))
+        # per-record fuzzy fan-out cap (LIMIT-100 analog, symmetric form);
+        # dropped candidate pairs are surfaced like the hot keys above
+        if cfg.cap_fuzzy_self_linkage:
+            pairs, dropped_cands = cap_fuzzy_fanout(pairs, cfg)
+        else:
+            dropped_cands = pairs.limit(0)
+        ck.write("s3_dropped_candidates", dropped_cands, h, _upstream(["s1_records"]))
         return pairs
 
     pairs = stage("s3_pairs", ["s1_records"], build_pairs)
@@ -147,8 +157,9 @@ def run_pipeline(
     )
 
     dropped = ck.read(spark, "s2_dropped_keys")
+    dropped_cands = ck.read(spark, "s3_dropped_candidates")
     return PipelineResult(
         records=records, pairs=pairs, scored=scored, components=components,
-        clusters=clusters, dropped_keys=dropped, quarantine=quarantine,
-        metrics=ck.metrics(),
+        clusters=clusters, dropped_keys=dropped, dropped_candidates=dropped_cands,
+        quarantine=quarantine, metrics=ck.metrics(),
     )

@@ -78,6 +78,7 @@ def main(argv=None) -> int:
         "scored_pairs": n_pairs,
         "clusters": n_clusters,
         "dropped_hot_keys": result.dropped_keys.count(),
+        "dropped_fuzzy_candidates": result.dropped_candidates.count(),
         "wall_sec": round(time.time() - t0, 2),
         "stages": [
             {k: m[k] for k in ("stage", "output_rows", "wall_ms")} for m in result.metrics

@@ -169,6 +169,64 @@ class TestCandidateCap:
         # cap disabled -> passthrough
         assert cap_candidates_per_probe(pairs, MatchConfig(max_candidates_per_probe=0)).count() == len(rows)
 
+    def test_symmetric_fanout_cap_self_linkage(self, spark):
+        """cap_fuzzy_fanout — the batch self-linkage form: a pair survives if
+        within EITHER endpoint's top-n (both endpoints are probes); tier
+        ordering (cleanname before nametok) pinned; dropped pairs reported."""
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.config import MatchConfig
+        from entity_matching_spark.operators.blocking import cap_fuzzy_fanout
+
+        # hub record "a" has 10 fuzzy candidates; each candidate has only the
+        # one pair, so with n=4 the pair is rank<=4 for every candidate's own
+        # list -> EVERY pair survives via the b-side even though a's list is
+        # over cap. Then a second hub "z" pairs with the same candidates as
+        # conv_id_b: those pairs rank 2 on each candidate's a-side list and
+        # 1..10 on z's b-side list -> exactly n survive z's cap plus the
+        # candidates' (rank-2 <= n) side keeps the rest.
+        rows = [("a", f"c{i:02d}", "FUZZY_NAME", "nametok", f"nametok:t{i}") for i in range(10)]
+        pairs = spark.createDataFrame(
+            rows, "conv_id_a string, conv_id_b string, strategy string, pass string, block_key string"
+        )
+        kept, dropped = cap_fuzzy_fanout(pairs, MatchConfig(max_candidates_per_probe=4))
+        assert kept.count() == 10 and dropped.count() == 0  # either-side keep
+
+        # isolate the a-side cap: candidates that share BOTH hubs, so each
+        # candidate's own list has 2 entries (never the binding side with n=1)
+        rows2 = (
+            [(f"c{i:02d}", f"y{i:02d}", "FUZZY_NAME", "nametok", f"nametok:u{i}") for i in range(6)]
+            + [(f"c{i:02d}", f"y{i:02d}x", "FUZZY_NAME", "cleanname", "cleanname:k") for i in range(6)]
+            + [("a", "b", "IDENTIFIER", "mei", "mei:US1")] * 1
+        )
+        p2 = spark.createDataFrame(
+            rows2, "conv_id_a string, conv_id_b string, strategy string, pass string, block_key string"
+        )
+        kept2, dropped2 = cap_fuzzy_fanout(p2, MatchConfig(max_candidates_per_probe=1))
+        # per conv_id_a=c{i}: cleanname outranks nametok -> cleanname kept by
+        # the a-side cap; the nametok pair survives via its OWN b-side (y{i}
+        # has exactly 1 pair, rank 1 <= 1) -> nothing actually drops here,
+        # but tier ordering is observable through the a-side rank: shrink the
+        # b-side escape by reusing one y for all nametok pairs
+        rows3 = (
+            [(f"c{i:02d}", "yALL", "FUZZY_NAME", "nametok", f"nametok:v{i:02d}") for i in range(6)]
+            + [(f"c{i:02d}", "yALLx", "FUZZY_NAME", "cleanname", "cleanname:k") for i in range(6)]
+        )
+        p3 = spark.createDataFrame(
+            rows3, "conv_id_a string, conv_id_b string, strategy string, pass string, block_key string"
+        )
+        kept3, dropped3 = cap_fuzzy_fanout(p3, MatchConfig(max_candidates_per_probe=1))
+        k3 = {(r["conv_id_a"], r["conv_id_b"]) for r in kept3.collect()}
+        # every cleanname pair survives (a-side rank 1 = exact tier first);
+        # nametok pairs: a-side rank 2 (over cap), b-side list of yALL has 6
+        # entries with n=1 -> only the first by (block_key, conv_id_a) order
+        assert all((f"c{i:02d}", "yALLx") in k3 for i in range(6))
+        assert ("c00", "yALL") in k3            # yALL's single b-side keeper
+        assert dropped3.count() == 5            # the other 5 nametok pairs
+        assert kept2.count() == 13 and dropped2.count() == 0
+        # identifier pairs always pass through
+        assert kept2.where(F.col("strategy") == "IDENTIFIER").count() == 1
+
 
 class TestCrossPairs:
     def test_corpus_side_cap_and_orientation(self, spark):
