@@ -39,6 +39,11 @@ from ..config import DEFAULT_CONFIG, MatchConfig
 # (engine/MatchingEngine.java:41-60), then fuzzy name (:62-81), then email
 # (:84-108). Within identifiers, MEI > LEI > EIN > DD mirrors
 # IdentifierMatcher's pass order (engine/IdentifierMatcher.java:26-76).
+# Hard cap on the sorted-neighborhood boundary sample pulled to the driver
+# (operators/blocking.sorted_neighborhood_keys step 1): bounds driver memory
+# and the range count independently of cfg.shuffle_partitions.
+SN_MAX_SAMPLE = 20_000
+
 BLOCKING_PASSES = {
     "mei": (1, "IDENTIFIER"),
     "lei": (2, "IDENTIFIER"),
@@ -143,13 +148,17 @@ def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = No
     ).where(F.col("snk") != "")
     n_parts = max(2, cfg.shuffle_partitions)
 
-    # 1. deterministic sample (~n_parts*20 rows regardless of layout)
+    # 1. deterministic sample. Target ~20 rows per range, HARD-CAPPED at
+    #    SN_MAX_SAMPLE so a cluster-scale ``shuffle_partitions`` (thousands)
+    #    cannot turn the driver collect into an unbounded pull — the cap
+    #    trades range granularity (bigger ranges, same correctness) for a
+    #    fixed driver memory bound.
     total = sk.count()
     if total == 0:
         return sk.select(
             "conv_id", F.lit("sorted_neighborhood").alias("pass"), F.lit("").alias("key")
         ).limit(0)
-    target_sample = n_parts * 20
+    target_sample = min(n_parts * 20, SN_MAX_SAMPLE)
     mod = max(1, total // max(target_sample, 1))
     sample = (
         sk.where(F.pmod(F.xxhash64("snk", "conv_id"), F.lit(mod)) == 0)
@@ -159,20 +168,31 @@ def sorted_neighborhood_keys(records: DataFrame, config: MatchConfig | None = No
     step = max(1, len(svals) // n_parts)
     bounds = sorted(set(svals[step::step]))  # interior boundaries only
 
-    bounds_arr = F.array(*[F.lit(b) for b in bounds]) if bounds else F.array().cast("array<string>")
+    # Single array-Literal node (NOT one F.lit per boundary): thousands of
+    # ranges would otherwise balloon the Catalyst expression tree; a list
+    # literal is one node regardless of length.
+    bounds_arr = F.lit(bounds).cast("array<string>")
     rid = F.size(F.filter(bounds_arr, lambda b: b <= F.col("snk")))
     sk = sk.withColumn("rid", rid)
     win = Window.partitionBy("rid").orderBy("snk", "conv_id")
     sk = sk.withColumn("lidx", F.row_number().over(win))
 
-    # per-range counts -> cumulative offsets (tiny driver-side table)
+    # per-range counts -> cumulative offsets. The collect is bounded by the
+    # number of ranges (<= len(bounds)+1 <= target_sample); the lookup map is
+    # two array Literals (same single-node discipline as bounds_arr).
     counts = {r["rid"]: r["cnt"] for r in sk.groupBy("rid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for r in sorted(counts):
         offsets[r] = acc
         acc += counts[r]
-    offset_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]) \
-        if offsets else F.create_map()
+    offset_map = (
+        F.map_from_arrays(
+            F.lit([int(r) for r in sorted(offsets)]),
+            F.lit([int(offsets[r]) for r in sorted(offsets)]),
+        )
+        if offsets
+        else F.map_from_arrays(F.lit([]).cast("array<int>"), F.lit([]).cast("array<bigint>"))
+    )
 
     gidx = (offset_map[F.col("rid")] + F.col("lidx") - 1).alias("gidx")
     sk = sk.select("conv_id", gidx)

@@ -115,6 +115,24 @@ class TestSortedNeighborhood:
             records_df.repartition(11, "conv_id"), cfg).collect()))
         assert k1 == k2
 
+    def test_cluster_scale_partition_config_is_bounded(self, spark, records_df):
+        """A cluster-scale ``shuffle_partitions`` (thousands) must not blow up
+        the SN driver structures: the boundary sample is hard-capped
+        (SN_MAX_SAMPLE) and the bounds/offset lookups are single Literal
+        nodes, so the plan builds and the pass still emits exactly two tile
+        keys per named record with every neighbor-pair sharing a tile."""
+        from entity_matching_spark.operators.blocking import SN_MAX_SAMPLE
+
+        cfg = MatchConfig(sorted_neighborhood_window=4, shuffle_partitions=4096)
+        assert min(4096 * 20, SN_MAX_SAMPLE) == SN_MAX_SAMPLE  # cap binds
+        keys = sorted_neighborhood_keys(records_df, cfg)
+        named = records_df.where(
+            "norm_legal_name is not null and norm_legal_name != ''").count()
+        per = keys.groupBy("conv_id").agg(F.countDistinct("key").alias("n"))
+        rows = per.collect()
+        assert len(rows) == named
+        assert all(1 <= r["n"] <= 2 for r in rows)  # two tilings, may coincide
+
     def test_near_names_share_bucket(self, spark, records_df):
         """Adjacent records in norm-name order share an SN key."""
         keys = sorted_neighborhood_keys(records_df, MatchConfig(sorted_neighborhood_window=4))
