@@ -233,6 +233,33 @@ def simhash_signatures(
     )
 
 
+def simhash60_py(text: str | None) -> int:
+    """Scalar Python replica of ``simhash_signatures`` for the STREAMING
+    path (one document at a time inside an Arrow batch, where the explode +
+    two-groupBy batch formulation doesn't apply). Bit-identical to the
+    native operator: same single-space tokenization, distinct non-empty
+    tokens, md5-derived 60-bit per-token vectors, majority per bit.
+    Pinned equal in tests/test_streaming.py. Empty/None text -> 0 (the batch
+    operator has no row to emit for a token-less doc; the streaming path
+    needs a value, and 0 groups all empty docs as exact duplicates).
+    """
+    import hashlib
+
+    toks = {t for t in (text or "").split(" ") if t}
+    if not toks:
+        return 0
+    counts = [0] * SIMHASH_BITS
+    for tok in toks:
+        hv = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[: SIMHASH_BITS // 4], 16)
+        for bit in range(SIMHASH_BITS):
+            counts[bit] += 1 if (hv >> bit) & 1 else -1
+    sig = 0
+    for bit in range(SIMHASH_BITS):
+        if counts[bit] > 0:
+            sig |= 1 << bit
+    return sig
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -168,6 +168,81 @@ class TestIncrementalMatch:
         assert "POTENTIAL_DUPLICATE_SHORT_NAME" in flags
 
 
+class TestStreamingDedup:
+    def test_cross_batch_suppression_and_ttl_eviction(self, spark, tmp_path):
+        """applyInPandasWithState over SimHash band buckets: a near-duplicate
+        arriving in a LATER micro-batch is suppressed against the retained
+        representative; a duplicate arriving past the TTL is fresh again
+        (state evicted); the streaming per-row SimHash is bit-identical to
+        the batch operator."""
+        import datetime as dt
+        import glob as globmod
+        import shutil
+
+        from entity_matching_spark.operators.dedup import (
+            simhash60_py, simhash_signatures,
+        )
+        from entity_matching_spark.streaming.dedup import streaming_simhash_dedup
+
+        ddl = "doc_id string, text string, ts timestamp"
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+        in_dir = tmp_path / "din"
+        in_dir.mkdir()
+
+        def write_file(rows, name):
+            stage = str(tmp_path / "dstage")
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(globmod.glob(stage + "/part-*.parquet")[0], str(in_dir / name))
+
+        base = " ".join(f"tok{i}" for i in range(50))
+        sig_base = simhash60_py(base)
+        near = None  # first single-token variant within Hamming 3 of base
+        for i in range(500):
+            cand = " ".join(f"tok{j}" for j in range(49)) + f" alt{i}"
+            if bin(sig_base ^ simhash60_py(cand)).count("1") <= 3:
+                near = cand
+                break
+        assert near is not None
+        other = " ".join(f"zzz{i}" for i in range(50))
+        assert bin(sig_base ^ simhash60_py(other)).count("1") > 3
+
+        write_file([("docA", base, t0)], "f1.parquet")
+        write_file([
+            ("docB", near, t0 + dt.timedelta(minutes=1)),      # near-dup of A
+            ("docX", other, t0 + dt.timedelta(minutes=1)),     # fresh
+        ], "f2.parquet")
+        # past the 60-minute TTL: A's entry is evicted inline, so an EXACT
+        # copy of A is fresh again
+        write_file([("docC", base, t0 + dt.timedelta(hours=3))], "f3.parquet")
+
+        out_dir = str(tmp_path / "dout")
+        q = streaming_simhash_dedup(
+            spark, str(in_dir), out_dir, str(tmp_path / "dck"),
+            max_hamming=3, ttl="60 minutes", watermark="10 minutes",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+        got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+        assert set(got) == {"docA", "docB", "docX", "docC"}
+        assert not got["docA"]["is_dup"]
+        assert got["docB"]["is_dup"] and got["docB"]["matched_doc"] == "docA"
+        assert got["docB"]["hamming"] <= 3
+        assert not got["docX"]["is_dup"]
+        assert not got["docC"]["is_dup"]          # TTL-evicted, fresh again
+
+        # streaming scalar SimHash == batch native operator, bit for bit
+        docs = spark.createDataFrame(
+            [("a", base), ("b", near), ("c", other)], "doc_id string, text string"
+        )
+        batch_sigs = {
+            r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()
+        }
+        assert batch_sigs == {
+            "a": simhash60_py(base), "b": simhash60_py(near), "c": simhash60_py(other)
+        }
+
+
 class TestIncrementalScoringIsBatchSized:
     def test_precomputed_shortname_dup_skips_corpus_window(self, spark):
         """score_pairs with a caller-supplied shortname_dup column must not
