@@ -99,16 +99,32 @@ class StageCheckpointer:
 
         spark = df.sparkSession
         written = self.read(spark, stage)
+        # Order-independent per-row digest: sum of xxhash64 over every column,
+        # in decimal so the sum cannot overflow under ANSI mode. Makes the
+        # manifest fingerprint CONTENT-sensitive — a same-cardinality,
+        # same-schema recompute with different values still invalidates
+        # downstream checkpoints (plans/pipeline._fingerprint includes it).
+        row_hash = F.xxhash64(*written.columns).cast("decimal(25,0)")
         if self.compute_partition_lineage:
             per_part = [
-                {"partition_id": r["pid"], "rows": r["rows"]}
+                {
+                    "partition_id": r["pid"],
+                    "rows": r["rows"],
+                    "content_hash": str(r["chash"]),
+                }
                 for r in written.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count("*").alias("rows")).orderBy("pid").collect()
+                .agg(F.count("*").alias("rows"), F.sum(row_hash).alias("chash"))
+                .orderBy("pid").collect()
             ]
             output_rows = sum(p["rows"] for p in per_part)
+            content_hash = str(sum(int(p["content_hash"]) for p in per_part))
         else:
             per_part = []
-            output_rows = written.count()
+            agg = written.agg(
+                F.count("*").alias("rows"), F.sum(row_hash).alias("chash")
+            ).collect()[0]
+            output_rows = agg["rows"]
+            content_hash = str(agg["chash"])
 
         m = {
             "stage": stage,
@@ -117,6 +133,7 @@ class StageCheckpointer:
             "params_hash": params_hash,
             "upstream_hash": upstream_hash,
             "output_rows": output_rows,
+            "content_hash": content_hash,
             "wall_ms": wall_ms,
             "table_format": self.table_format,
             "path": path,

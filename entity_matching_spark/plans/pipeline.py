@@ -16,9 +16,10 @@ One linear DAG, each stage a checkpointed table:
 kill the job after S3 and the rerun starts at S4 (pinned by
 tests/test_pipeline.py::test_resume_after_pairs). The upstream chain is a
 REAL fingerprint: each stage's recorded upstream_hash is derived from the
-upstream stages' manifests (params_hash + output_rows + schema), so
-re-running any upstream stage with different output invalidates everything
-downstream. Callers with a changing input under a fixed work_dir should pass
+upstream stages' manifests (params_hash + output_rows + schema + an
+order-independent per-row content digest), so re-running any upstream stage
+with different output — including a same-cardinality, same-schema recompute
+with different values — invalidates everything downstream. Callers with a changing input under a fixed work_dir should pass
 ``input_fingerprint`` (e.g. an Iceberg snapshot id) so S1 itself re-runs.
 """
 
@@ -85,6 +86,10 @@ def run_pipeline(
                 "params": manifest.get("params_hash"),
                 "rows": manifest.get("output_rows"),
                 "schema": manifest.get("schema"),
+                # content digest (sum of per-row xxhash64, checkpoint.py):
+                # a same-cardinality same-schema recompute with different
+                # values still changes the fingerprint
+                "content": manifest.get("content_hash"),
             },
             sort_keys=True,
         ).encode()

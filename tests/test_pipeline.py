@@ -124,6 +124,27 @@ class TestPipelineRound2:
         with open(s3_manifest) as f:
             assert json.load(f)["upstream_hash"] != up_before
 
+    def test_content_only_change_invalidates(self, spark, tmp_path):
+        """The manifest fingerprint is CONTENT-sensitive: two stage writes
+        with identical row count + schema but different values produce
+        different content hashes (a same-cardinality recompute invalidates
+        downstream, not just row-count/schema drift)."""
+        from entity_matching_spark.plans.checkpoint import StageCheckpointer
+
+        ck = StageCheckpointer(str(tmp_path / "ckc"))
+        df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        df2 = spark.createDataFrame([("a", 1), ("b", 3)], "k string, v int")
+        m1 = ck.write("sX", df1, "h")
+        m2 = ck.write("sX", df2, "h")
+        assert m1["output_rows"] == m2["output_rows"]
+        assert m1["schema"] == m2["schema"]
+        assert m1["content_hash"] != m2["content_hash"]
+        # order-independence: a relayout of the same rows digests identically
+        m3 = ck.write("sX", df1.repartition(5), "h")
+        assert m3["content_hash"] == m1["content_hash"]
+        # per-partition lineage carries the per-partition digests
+        assert all("content_hash" in p for p in m3["partitions"])
+
     def test_input_fingerprint_invalidates_s1(self, spark, small_transcripts, tmp_path):
         wd = str(tmp_path / "run6")
         run_pipeline(spark, small_transcripts, wd, MatchConfig(), input_fingerprint="snap1")
