@@ -1642,6 +1642,68 @@ def _sql_multimodal_frames(sf: str) -> str:
 
 
 # ===========================================================================
+# Streaming — online near-dup suppression driven end-to-end (rows-only
+# check: stateful streaming is not SQL-expressible; the cross-batch
+# suppression/eviction semantics are pinned in tests/test_streaming.py)
+# ===========================================================================
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive streaming/dedup.streaming_simhash_dedup (applyInPandasWithState
+    keyed on SimHash band buckets) over the documents table split into two
+    availableNow micro-batches; returns the per-document verdicts. Output is
+    deterministic in count and content for a fixed input: event time is
+    doc_id-derived, within-batch order is (ts, doc_id), and the TTL exceeds
+    the corpus's event-time span so no eviction races the verdicts."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from entity_matching_spark.streaming.dedup import streaming_simhash_dedup
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id_num"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+    ).withColumn(
+        # deterministic event time: one second per doc id from a fixed epoch
+        "ts",
+        (F.unix_timestamp(F.lit("2026-01-01 00:00:00")) + F.col("id_num"))
+        .cast("timestamp"),
+    )
+    tmp = tempfile.mkdtemp(prefix="em_stream_dedup_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        stage = os.path.join(tmp, "stage")
+        # two flat part files -> two micro-batches (the parquet file stream
+        # source lists top-level files only, so stage-then-copy)
+        for i in range(2):
+            docs.where(F.col("id_num") % 2 == i).select(
+                "doc_id", "text", "ts"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(
+                globmod.glob(stage + "/part-*.parquet")[0],
+                os.path.join(in_dir, f"f{i}.parquet"),
+            )
+        q = streaming_simhash_dedup(
+            spark, in_dir, os.path.join(tmp, "out"), os.path.join(tmp, "ck"),
+            max_hamming=3, ttl="120 hours", watermark="1 minute",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(os.path.join(tmp, "out"))
+            .select("doc_id", "is_dup", "matched_doc", "hamming")
+            .orderBy("doc_id")
+            .localCheckpoint()  # survives the tmp-dir cleanup below
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -1718,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_token_stats,
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
+        "streaming_dedup": q_streaming_dedup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
     }
