@@ -55,11 +55,15 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         "vec_id", "centroid_id",
         cosine(_emb("embedding"), _emb("cemb")).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
-    return (
-        sims.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1)
-        .select("vec_id", "centroid_id")
+    # argmax as a map-side-combinable aggregate — max of (cos, -centroid_id)
+    # reproduces the (cos DESC, centroid_id ASC) ordering exactly. A window
+    # would shuffle and sort ALL |V| x k similarity rows on vec_id; the
+    # partial aggregate collapses each vector's k rows to one before the
+    # shuffle — a k-fold shuffle reduction on the training/assignment scan.
+    best = sims.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("centroid_id")).alias("neg_id"))).alias("m")
     )
+    return best.select("vec_id", (-F.col("m.neg_id")).alias("centroid_id"))
 
 
 def probe_cells(probes: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
