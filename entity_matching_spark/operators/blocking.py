@@ -293,7 +293,7 @@ def cap_candidates_per_probe(pairs: DataFrame, config: MatchConfig | None = None
 
 
 def cap_fuzzy_fanout(
-    pairs: DataFrame, config: MatchConfig | None = None
+    pairs: DataFrame, config: MatchConfig | None = None, eager: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Symmetric per-record cap on fuzzy-name candidates for the SELF-LINKAGE
     pair set — the batch-path analog of ``cap_candidates_per_probe``.
@@ -315,6 +315,13 @@ def cap_fuzzy_fanout(
     FUZZY_NAME subset only, each partitioned by a record id, so no global
     sort and no unbounded partition: a record's candidate list is already
     bounded by sum-of-its-block-sizes <= n_keys x max_block_size.
+
+    ``eager=True`` materializes the ranked fuzzy subset (localCheckpoint)
+    before the kept/dropped split — callers that WRITE both outputs (the
+    pipeline checkpoints kept as s3_pairs and dropped as
+    s3_dropped_candidates) would otherwise re-execute the entire upstream
+    blocking DAG once per output. The materialization is bounded by the
+    candidate-pair count, which is about to be persisted anyway.
     """
     cfg = config or DEFAULT_CONFIG
     n = getattr(cfg, "max_candidates_per_probe", 0)
@@ -337,6 +344,8 @@ def cap_fuzzy_fanout(
             "_rb": F.row_number().over(wb),
         })
     )
+    if eager:
+        ranked = ranked.localCheckpoint()
     keep = (F.col("_ra") <= n) | (F.col("_rb") <= n)
     kept = ranked.where(keep).drop("_ra", "_rb")
     dropped = ranked.where(~keep).drop("_ra", "_rb")

@@ -122,14 +122,22 @@ def run_pipeline(
     records = records.where(~no_signal)
 
     def build_pairs():
-        keys = generate_blocking_keys(records, cfg)
+        # This stage materializes THREE outputs (s2_dropped_keys,
+        # s3_dropped_candidates, s3_pairs) from one shared DAG; the
+        # localCheckpoints pin the shared prefixes so each write executes
+        # its branch once instead of re-running blocking per output. Both
+        # checkpoints are bounded by tables the stage persists anyway
+        # (keys ~ records x passes, pairs ~ the s3 output itself).
+        keys = generate_blocking_keys(records, cfg).localCheckpoint()
         pairs, dropped = generate_pairs(keys, cfg)
         # dropped hot keys are surfaced, never silently discarded
         ck.write("s2_dropped_keys", dropped, h, _upstream(["s1_records"]))
         # per-record fuzzy fan-out cap (LIMIT-100 analog, symmetric form);
         # dropped candidate pairs are surfaced like the hot keys above
         if cfg.cap_fuzzy_self_linkage:
-            pairs, dropped_cands = cap_fuzzy_fanout(pairs, cfg)
+            pairs, dropped_cands = cap_fuzzy_fanout(
+                pairs.localCheckpoint(), cfg, eager=True
+            )
         else:
             dropped_cands = pairs.limit(0)
         ck.write("s3_dropped_candidates", dropped_cands, h, _upstream(["s1_records"]))
