@@ -863,6 +863,119 @@ def _sql_dedup_minhash_verified(sf: str) -> str:
     """
 
 
+_NGRAM_N = 5
+_NGRAM_DF_CAP = 200
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram Jaccard near-dup (operators/dedup.ngram_jaccard_pairs)
+    — the character-level sibling of token Jaccard, robust to whitespace/
+    punctuation edits that shift token boundaries. Same df-capped
+    inverted-index candidate join + exact Jaccard over the distinct 5-gram
+    sets; threshold 0.5."""
+    from entity_matching_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs, _dropped = ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=_NGRAM_N, threshold=0.5, df_cap=_NGRAM_DF_CAP
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _sql_dedup_ngram_jaccard(sf: str) -> str:
+    n = _NGRAM_N
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(length(text) - {n - 1}, 1)),
+                    i -> substr(text, i, {n}))) AS tok
+      FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, tok FROM g WHERE length(tok) = {n}
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+    rare AS (
+      SELECT t.* FROM toks t JOIN dfreq USING (tok) WHERE dfreq.df <= {_NGRAM_DF_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.tok = b.tok
+      WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_sort(list(tok)) AS arr FROM toks GROUP BY doc_id),
+    j AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.arr, sb.arr)) AS inter,
+             len(sa.arr) AS sz_a, len(sb.arr) AS sz_b
+      FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 9) AS jaccard
+    FROM j
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+_RP_PLANES = 16
+_RP_ROWS_PER_BAND = 4
+_RP_DIM = 64
+_RP_THRESHOLD = 0.3
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane sign-LSH embedding near-dup
+    (operators/dedup.embedding_lsh_pairs) — the LSH-bucketed alternative to
+    IVF-cell blocking: 16-bit signatures from deterministic md5-derived
+    hyperplanes, 4x4-bit banded candidate join, exact cosine confirm at
+    threshold 0.3 (same threshold note as dedup_embedding: the synthetic
+    embeddings are near-random)."""
+    from entity_matching_spark.operators.dedup import embedding_lsh_pairs
+
+    pairs, _dropped = embedding_lsh_pairs(
+        _read(spark, sf_dir, "embeddings"),
+        n_planes=_RP_PLANES, rows_per_band=_RP_ROWS_PER_BAND,
+        threshold=_RP_THRESHOLD, dim=_RP_DIM,
+    )
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+def _sql_dedup_embedding_lsh(sf: str) -> str:
+    from entity_matching_spark.operators.dedup import rp_hyperplanes
+
+    planes = rp_hyperplanes(_RP_PLANES, _RP_DIM)
+    # Spark folds left from 0.0 over the zip_with products; list_reduce is
+    # the same left fold, so the sign bits match bit-for-bit.
+    dots = [
+        "list_reduce(list_transform(generate_series(1, {d}), i -> emb[i] * ([{hp}])[i]), (a, b) -> a + b)".format(
+            d=_RP_DIM, hp=", ".join(repr(v) for v in plane)
+        )
+        for plane in planes
+    ]
+    sig_expr = " + ".join(
+        f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)" for p, dot in enumerate(dots)
+    )
+    mask = (1 << _RP_ROWS_PER_BAND) - 1
+    n_bands = _RP_PLANES // _RP_ROWS_PER_BAND
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    sig AS (SELECT vec_id, emb, {sig_expr} AS sig FROM v),
+    keyed AS (
+      SELECT vec_id, band, (sig >> ({_RP_ROWS_PER_BAND} * band)) & {mask} AS bkey
+      FROM sig, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT vec_a, vec_b, round(list_cosine_similarity(va.emb, vb.emb), 9) AS cos
+      FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, cos FROM p WHERE cos >= {_RP_THRESHOLD} ORDER BY vec_a, vec_b
+    """
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (operators/dedup.simhash_signatures) — 60-bit signature from
     md5-derived per-token bit vectors, native Spark bit arithmetic (conv +
@@ -1766,6 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -1809,6 +1924,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_jaccard": _sql_dedup_token_jaccard(sf),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(sf),
         "dedup_minhash_verified": _sql_dedup_minhash_verified(sf),
+        "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(sf),
+        "dedup_embedding_lsh": _sql_dedup_embedding_lsh(sf),
         "dedup_simhash": _sql_dedup_simhash(sf),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(sf),
         "dedup_embedding": _sql_dedup_embedding(sf),

@@ -199,6 +199,172 @@ def minhash_verified_pairs(
     return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    df_cap: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate pairs by CHARACTER n-gram Jaccard.
+
+    The character-level sibling of ``token_jaccard_pairs`` — robust to
+    whitespace/punctuation edits that shift token boundaries (the classic
+    failure mode of word-token Jaccard on OCR'd or template-mangled text).
+    Same scale discipline: an inverted-index candidate join over n-grams
+    whose document frequency is <= ``df_cap`` (boilerplate grams shared by
+    everything add quadratic hot keys and no discrimination), then the EXACT
+    Jaccard over each candidate pair's full distinct-n-gram sets — the cap
+    affects candidate recall only, never the reported similarity. Over-cap
+    grams are RETURNED, never silently discarded.
+
+    Returns ``(pairs, dropped_grams)``: pairs is (doc_a, doc_b, jaccard >=
+    threshold) with doc_a < doc_b; dropped_grams is (tok, df) for over-cap
+    n-grams. All native (substring/sequence/array ops — no Python).
+    """
+    grams_expr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            ),
+            # docs shorter than n chars yield truncated/empty grams; keep only
+            # full-width grams so every gram means the same thing corpus-wide
+            lambda g: F.length(g) == n,
+        )
+    )
+    toks = docs.select(id_col, F.explode(grams_expr).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    dropped = dfreq.where(F.col("df") > df_cap)
+    rare = toks.join(dfreq.where(F.col("df") <= df_cap), "tok")
+    a = rare.select(F.col(id_col).alias("doc_a"), "tok")
+    b = rare.select(F.col(id_col).alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok").where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    sets = toks.groupBy(id_col).agg(F.sort_array(F.collect_set("tok")).alias("arr"))
+    j = (
+        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")), "doc_a")
+        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("arr_a") + F.size("arr_b") - F.col("inter")), 9),
+        )
+    )
+    pairs = j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return pairs, dropped
+
+
+def rp_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH: ``n_planes``
+    lists of ``dim`` doubles in [-1, 1), derived from md5(plane|dim) — the
+    same engine-portable hash-family trick as the MinHash/SimHash operators,
+    evaluated ONCE on the driver (model constants, like the IVF centroid
+    table) instead of per row. value = int(md5(f"{p}|{d}")[:8], 16) / 2^31 - 1
+    — exact binary scaling, so any engine reproducing the formula gets
+    bit-identical doubles."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_lsh_pairs(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.3,
+    dim: int = 64,
+    bucket_cap: int | None = 100_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Embedding near-duplicate pairs by random-hyperplane (sign) LSH —
+    the LSH-bucketed alternative to the IVF-cell blocking of
+    ``embedding_near_dup_pairs``.
+
+    Each vector gets an ``n_planes``-bit signature (bit p = sign of the dot
+    product with deterministic hyperplane p; P[bits agree] = 1 - angle/pi),
+    split into bands of ``rows_per_band`` bits. Candidates are pairs sharing
+    any (band, bkey) — an equi-join shuffling on the band key, never
+    all-pairs — then the EXACT cosine confirms ``>= threshold``. Unlike IVF
+    cells, LSH needs no trained centroid model and recall is tunable purely
+    by n_planes/rows_per_band (more, narrower bands -> higher recall, more
+    candidates); the trade is that bucket sizes follow the data's angular
+    clustering rather than a k-means balance.
+
+    The dot products run JVM-side (``zip_with`` + left-fold ``aggregate``
+    against literal hyperplane arrays — model constants in the plan, zero
+    per-row hashing); band buckets over ``bucket_cap`` docs are excluded
+    and RETURNED — same discipline as ``simhash_near_dup_pairs``.
+
+    Returns ``(pairs, dropped_buckets)``: pairs is (vec_a, vec_b, cos) with
+    vec_a < vec_b, cos >= threshold; dropped_buckets is (band, bkey, n_docs).
+    """
+    from .ann import cosine
+
+    planes = rp_hyperplanes(n_planes, dim)
+    emb = F.col(emb_col).cast("array<double>")
+
+    def bit(p: int) -> F.Column:
+        hp = F.array(*[F.lit(v) for v in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(emb, hp, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+        return (dot > 0).cast("long")
+
+    sig_col = sum((bit(p) * (1 << p) for p in range(n_planes)), F.lit(0))
+    sig = vectors.select(F.col(id_col).alias("vid"), emb.alias("emb"), sig_col.alias("sig"))
+    n_bands = n_planes // rows_per_band
+    mask = (1 << rows_per_band) - 1
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"(sig >> {rows_per_band * b}) & {mask}").alias("bkey"),
+        )
+        for b in range(n_bands)
+    ])
+    keyed = sig.select("vid", "emb", F.explode(bands).alias("bb")).select(
+        "vid", "emb", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    counts = keyed.groupBy("band", "bkey").agg(F.count("*").alias("n_docs"))
+    if bucket_cap is not None:
+        dropped = counts.where(F.col("n_docs") > bucket_cap)
+        keyed = keyed.join(
+            counts.where(F.col("n_docs") <= bucket_cap).select("band", "bkey"),
+            ["band", "bkey"],
+        )
+    else:
+        dropped = counts.where(F.lit(False))
+    a = keyed.select(F.col("vid").alias("vec_a"), "band", "bkey")
+    b = keyed.select(F.col("vid").alias("vec_b"), "band", "bkey")
+    # distinct on ids only — the dedup shuffle carries 2 longs per candidate,
+    # not the 64-double embeddings, which join back in afterwards
+    cand = (
+        a.join(b, ["band", "bkey"]).where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+    )
+    v = sig.select("vid", "emb")
+    pairs = (
+        cand.join(v.select(F.col("vid").alias("vec_a"), F.col("emb").alias("emb_a")), "vec_a")
+        .join(v.select(F.col("vid").alias("vec_b"), F.col("emb").alias("emb_b")), "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    return pairs, dropped
+
+
 SIMHASH_BITS = 60  # positive in signed BIGINT -> engine-portable oracle
 SIMHASH_BANDS = 4  # 4 x 15-bit bands: pigeonhole exact at Hamming <= 3
 _BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS

@@ -56,6 +56,85 @@ class TestDedup:
         hot = {r["tok"] for r in dropped.collect()}
         assert {"alpha", "beta", "gamma", "delta"} <= hot
 
+    def test_ngram_jaccard_catches_token_boundary_edits(self, spark):
+        from entity_matching_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # same chars, one whitespace edit ("brownfox") — token Jaccard
+            # loses both 'brown' and 'fox'; char grams barely move
+            (2, "the quick brownfox jumps over the lazy dog"),
+            (3, "completely different text with no overlap at all"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        pairs, dropped = ngram_jaccard_pairs(docs, n=5, threshold=0.5, df_cap=50)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+        assert (1, 2) in got and got[(1, 2)] > 0.7
+        assert all(3 not in p for p in got)
+        assert dropped.count() == 0
+
+    def test_ngram_jaccard_short_docs_no_partial_grams(self, spark):
+        from entity_matching_spark.operators.dedup import ngram_jaccard_pairs
+
+        # docs shorter than n produce no (partial) grams -> never pair
+        docs = spark.createDataFrame(
+            [(1, "ab"), (2, "ab"), (3, "abcdefgh"), (4, "abcdefgh")],
+            "doc_id int, text string",
+        )
+        pairs, _ = ngram_jaccard_pairs(docs, n=5, threshold=0.5, df_cap=50)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+        assert got == {(3, 4): 1.0}
+
+    def test_embedding_lsh_pairs_blocked_equals_brute_force_above_threshold(self, spark):
+        from entity_matching_spark.operators.dedup import embedding_lsh_pairs
+
+        # clustered fixture: two tight clusters + an orthogonal-ish loner.
+        # sign-LSH candidates must recover every within-cluster pair (near-
+        # identical vectors share all sign bits -> all bands), and the exact
+        # cosine confirm keeps cross-cluster pairs out.
+        dim = 8
+        base_a = [1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.9, 0.4]
+        base_b = [-0.7, 0.9, 0.3, -0.2, -0.8, 0.5, -0.1, 0.6]
+        rows = [
+            (1, base_a),
+            (2, [v * 1.01 + 0.001 for v in base_a]),
+            (3, base_b),
+            (4, [v * 0.99 - 0.001 for v in base_b]),
+            (5, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]),
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        pairs, dropped = embedding_lsh_pairs(
+            vecs, n_planes=16, rows_per_band=4, threshold=0.95, dim=dim
+        )
+        got = {(r["vec_a"], r["vec_b"]): r["cos"] for r in pairs.collect()}
+        assert set(got) == {(1, 2), (3, 4)}
+        assert all(c > 0.99 for c in got.values())
+        assert dropped.count() == 0
+
+    def test_embedding_lsh_bucket_cap_reports_dropped(self, spark):
+        from entity_matching_spark.operators.dedup import embedding_lsh_pairs
+
+        # identical vectors share every band bucket; cap=2 drops those
+        # buckets (4 bands x 3 docs) and the pairs disappear WITH a report
+        rows = [(i, [1.0, 0.5, -0.5, 0.25]) for i in range(3)]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        pairs, dropped = embedding_lsh_pairs(
+            vecs, n_planes=16, rows_per_band=4, threshold=0.5, dim=4, bucket_cap=2
+        )
+        assert pairs.count() == 0
+        d = dropped.collect()
+        assert len(d) == 4 and all(r["n_docs"] == 3 for r in d)
+
+    def test_rp_hyperplanes_deterministic(self):
+        from entity_matching_spark.operators.dedup import rp_hyperplanes
+
+        a = rp_hyperplanes(4, 16)
+        b = rp_hyperplanes(4, 16)
+        assert a == b
+        assert all(-1.0 <= v < 1.0 for plane in a for v in plane)
+        # planes differ from each other (not degenerate)
+        assert a[0] != a[1]
+
     def test_minhash_lsh_finds_near_dups(self, docs):
         from entity_matching_spark.operators.dedup import minhash_lsh_pairs
 
