@@ -154,7 +154,13 @@ def _pair_scores_udf(config: MatchConfig):
             "jw_atax_bleg": jw_enc(e_tax, enc(braw)),
         })
 
-    return pair_scores
+    # asNondeterministic: the UDF IS deterministic, but the flag stops
+    # Catalyst's CollapseProject/pushdown from CLONING the expensive Arrow
+    # kernel — without it the executed plan evaluates pair_scores TWICE per
+    # pair (once below the has_dup join, once above it), doubling the
+    # dominant scoring cost (found by the formatted-plan node count; see
+    # tests/test_plan_discipline.py which pins exactly one ArrowEval node).
+    return pair_scores.asNondeterministic()
 
 
 def _tier_predicates() -> dict[str, F.Column]:
