@@ -243,6 +243,89 @@ class TestStreamingDedup:
         }
 
 
+class TestWindowedMetrics:
+    def test_append_mode_finalizes_windows_and_drops_too_late(self, spark, tmp_path):
+        """Watermarked windowed agg, append mode: a window emits exactly once
+        after the watermark passes its end; a late turn inside the watermark
+        is merged before emission; a turn older than the watermark is
+        dropped; still-open windows at stream exhaustion are not emitted."""
+        import datetime as dt
+        import glob as globmod
+        import shutil
+
+        from entity_matching_spark.streaming.metrics import windowed_turn_metrics
+
+        ddl = (
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        t = lambda m, s=0: dt.datetime(2026, 1, 1, 10, 0, 0) + dt.timedelta(
+            minutes=m, seconds=s
+        )
+        in_dir = tmp_path / "win"
+        in_dir.mkdir()
+
+        def write_file(rows, name):
+            stage = str(tmp_path / "wstage")
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            shutil.copy(
+                globmod.glob(stage + "/part-*.parquet")[0], str(in_dir / name)
+            )
+
+        # W1 = [10:00, 10:05), W2 = [10:05, 10:10) under a 5-minute window
+        write_file(
+            [
+                ("c1", 0, "user", "aaaa", None, t(0)),
+                ("c1", 1, "assistant", "bb", None, t(2)),
+                ("c2", 0, "user", "cc", None, t(4)),
+                ("c2", 1, "user", "d", None, t(6)),  # W2
+            ],
+            "f1.parquet",
+        )
+        # batch 2: watermark is now 10:06-10:10 < W1 end, so W1 is still
+        # open — the 10:03 'late' turn must be merged into W1. The 10:30
+        # turn advances the watermark for batch 3.
+        write_file(
+            [
+                ("c3", 0, "user", "late", None, t(3)),
+                ("c9", 0, "user", "x", None, t(30)),
+            ],
+            "f2.parquet",
+        )
+        # batch 3: watermark = 10:30 - 10min = 10:20 -> W1 and W2 finalize,
+        # emit, and their state is EVICTED. The 11:00 turn advances the
+        # watermark to 10:50 for batch 4, which closes the 10:30 window; the
+        # 11:00 window itself never closes (stream ends) -> not emitted.
+        write_file([("c9", 1, "user", "y", None, t(60))], "f3.parquet")
+        # batch 4: W1's state is gone, so this 10:02 turn is genuinely
+        # dropped (Spark's drop guarantee is eviction-based: a late row is
+        # merged as long as its window state still exists, discarded only
+        # after the window was finalized — exactly the contract the operator
+        # docstring promises)
+        write_file([("c4", 0, "user", "too-late", None, t(2))], "f4.parquet")
+
+        q = windowed_turn_metrics(
+            spark, str(in_dir), str(tmp_path / "wout"), str(tmp_path / "wck"),
+            window="5 minutes", watermark="10 minutes", max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+        rows = spark.read.parquet(str(tmp_path / "wout")).collect()
+        got = {(r["window_start"].minute, r["role"]): r for r in rows}
+        # W1 + W2 + the 10:30 window; nothing for 11:00 (open at exhaustion)
+        assert set(got) == {(0, "user"), (0, "assistant"), (5, "user"), (30, "user")}
+        w1_user = got[(0, "user")]
+        # c1t0 (10:00) + c2t0 (10:04) + late c3t0 (10:03); too-late c4 absent
+        assert w1_user["n_turns"] == 3
+        assert w1_user["total_chars"] == len("aaaa") + len("cc") + len("late")
+        assert got[(0, "assistant")]["n_turns"] == 1
+        assert got[(5, "user")]["n_turns"] == 1
+        # windows are final: each (window, role) appears exactly once
+        assert len(rows) == len(got)
+
+
 class TestIncrementalScoringIsBatchSized:
     def test_precomputed_shortname_dup_skips_corpus_window(self, spark):
         """score_pairs with a caller-supplied shortname_dup column must not
