@@ -1816,6 +1816,85 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive streaming/metrics.windowed_turn_metrics (watermarked windowed
+    aggregation, APPEND mode) over the documents table as a 2-micro-batch
+    arrival stream; returns the finalized window rows.
+
+    Fully value-hash oracle-checkable — a first for the streaming family —
+    because the emitted set is exactly determined: event time is one second
+    per doc_id from a fixed origin, and append mode emits precisely the
+    windows whose end <= max(ts) - watermark, with COMPLETE counts (late
+    merges happen while window state exists; no row here arrives after its
+    window's eviction because evictions first occur after the last data
+    batch). Timestamps are returned as seconds RELATIVE to the origin so the
+    oracle is session-timezone-proof (window alignment shifts by whole
+    minutes across timezones, never fractions)."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from entity_matching_spark.streaming.metrics import windowed_turn_metrics
+
+    origin = F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
+    rows = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id_num"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("source").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+    ).withColumn("ts", (origin + F.col("id_num")).cast("timestamp"))
+    tmp = tempfile.mkdtemp(prefix="em_stream_window_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        stage = os.path.join(tmp, "stage")
+        for i in range(2):
+            rows.where(F.col("id_num") % 2 == i).select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(
+                globmod.glob(stage + "/part-*.parquet")[0],
+                os.path.join(in_dir, f"f{i}.parquet"),
+            )
+        q = windowed_turn_metrics(
+            spark, in_dir, os.path.join(tmp, "out"), os.path.join(tmp, "ck"),
+            window="1 minute", watermark="1 minute", max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(os.path.join(tmp, "out"))
+            .select(
+                (F.unix_timestamp("window_start") - origin).alias("rel_start_s"),
+                (F.unix_timestamp("window_end") - origin).alias("rel_end_s"),
+                "role", "n_turns", "total_chars",
+            )
+            .orderBy("rel_start_s", "role")
+            .localCheckpoint()  # survives the tmp-dir cleanup below
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _sql_streaming_window(sf: str) -> str:
+    return """
+    WITH rows AS (
+      SELECT CAST(doc_id AS BIGINT) AS id_num, source AS role, text
+      FROM documents
+    ),
+    wm AS (SELECT max(id_num) - 60 AS cutoff FROM rows)
+    SELECT (id_num // 60) * 60 AS rel_start_s,
+           (id_num // 60) * 60 + 60 AS rel_end_s,
+           role, COUNT(*) AS n_turns, SUM(length(text)) AS total_chars
+    FROM rows, wm
+    WHERE (id_num // 60) * 60 + 60 <= wm.cutoff
+    GROUP BY 1, 2, 3
+    ORDER BY rel_start_s, role
+    """
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1896,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_window": q_streaming_window,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
     }
@@ -1941,4 +2021,5 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _sql_token_stats(sf),
         "text_quality_score": _sql_quality_score(sf),
         "text_lang_id": _sql_lang_id(sf),
+        "streaming_window": _sql_streaming_window(sf),
     }
