@@ -822,9 +822,12 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _sql_dedup_minhash_verified(sf: str) -> str:
-    return f"""
-    WITH arrs AS (
+def _sql_minhash_verified_ctes() -> str:
+    """Shared CTE chain: 3-word shingles -> k md5 minhashes -> r=2 bands ->
+    candidate pairs -> exact shingle-set Jaccard (table ``j``). Used by the
+    minhash-verified oracle and the canonical-dedup oracle so both engines
+    agree on the exact pair set by construction."""
+    return f"""arrs AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
       FROM documents
     ), toks AS (
@@ -854,12 +857,96 @@ def _sql_dedup_minhash_verified(sf: str) -> str:
              len(list_intersect(sa.arr, sb.arr)) AS inter,
              len(sa.arr) AS sz_a, len(sb.arr) AS sz_b
       FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
-    )
+    )"""
+
+
+def _sql_dedup_minhash_verified(sf: str) -> str:
+    return f"""
+    WITH {_sql_minhash_verified_ctes()}
     SELECT doc_a, doc_b,
            round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 9) AS jaccard
     FROM j
     WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.3
     ORDER BY doc_a, doc_b
+    """
+
+
+def _sql_quality_cte() -> str:
+    """Quality score as a CTE (same arithmetic as _sql_quality_score) —
+    shared by the canonical-dedup oracle."""
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return rf"""qt AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS qtoks
+      FROM documents
+    ), qm AS (
+      SELECT doc_id, text, len(qtoks) AS n_tokens,
+             len(list_filter(qtoks, x -> list_contains([{stops}], x))) AS n_stopwords,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+      FROM qt
+    ), q AS (
+      SELECT doc_id,
+             round(0.5 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * least(CASE WHEN n_tokens > 0
+                                 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END * 4, 1.0)
+                   + 0.1 * (1 - least(CASE WHEN length(text) > 0
+                                 THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END * 10, 1.0)), 9)
+               AS quality
+      FROM qm
+    )"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup canonicalization (operators/dedup.canonical_docs):
+    verified MinHash pairs (threshold 0.3) -> transitive closure via the
+    SHIPPED large-star/small-star CC loop -> one canonical doc per cluster
+    (highest quality_scores value, ties to smallest doc_id). The complete
+    100 TB dedup recipe — candidates, exact confirm, clustering, keep/drop —
+    in one oracle-checked query."""
+    from entity_matching_spark.operators.dedup import canonical_docs, minhash_verified_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(
+        docs, threshold=0.3, num_hashes=_MINHASH_K, rows_per_band=2, shingle=3
+    )
+    return canonical_docs(docs, pairs).orderBy("doc_id")
+
+
+def _sql_dedup_canonical(sf: str) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_minhash_verified_ctes()},
+    vpairs AS (
+      SELECT doc_a, doc_b FROM j
+      WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.3
+    ),
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM vpairs
+    ),
+    reach (a, b) AS (
+      SELECT a, b FROM undirected
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    closure AS (
+      SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM undirected
+    ),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM closure GROUP BY a),
+    {_sql_quality_cte()},
+    scored AS (
+      SELECT l.doc_id, l.cluster_id, q.quality FROM labels l JOIN q USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM scored
+    ),
+    canon AS (SELECT cluster_id, doc_id AS canonical_doc FROM ranked WHERE rn = 1)
+    SELECT s.doc_id, s.cluster_id, c.canonical_doc,
+           s.doc_id = c.canonical_doc AS keep
+    FROM scored s JOIN canon c USING (cluster_id)
+    ORDER BY s.doc_id
     """
 
 
@@ -1522,6 +1609,168 @@ def _sql_lang_id(sf: str) -> str:
     """
 
 
+# ===========================================================================
+# Training-data ops — curation family (operators/curate.py; graded)
+# ===========================================================================
+
+# The synthetic document text is PII-free by construction, so the PII query
+# plants deterministic PII spans keyed on doc_id (identically in Spark and
+# the oracle SQL) — the operator then has nonzero work to find.
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" reach user"), did.cast("string"),
+                            F.lit("@example.org soon"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" ssn 123-45-6789 on file")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" call 415-555-0133 today")).otherwise(F.lit("")),
+            F.when(did % 17 == 0,
+                   F.concat(F.lit(" from 10.0.0."), (did % 256).cast("string"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_SQL_PII_AUG = """
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.org soon'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0 THEN ' call 415-555-0133 today' ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END
+        AS text
+      FROM documents
+"""
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/curate.pii_stats) — native-regex
+    counts (emails, SSNs, phones, IPv4) and a sequentially-redacted text
+    column; RE2-safe patterns so DuckDB reproduces both exactly."""
+    from entity_matching_spark.operators.curate import pii_stats
+
+    return pii_stats(_pii_augmented(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sql_text_pii(sf: str) -> str:
+    from entity_matching_spark.operators.curate import PII_PATTERNS
+
+    counts = ",\n             ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    total = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    return f"""
+    WITH aug AS ({_SQL_PII_AUG}),
+    m AS (
+      SELECT doc_id,
+             {counts},
+             {red} AS redacted
+      FROM aug
+    )
+    SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+           {total} AS n_pii, redacted
+    FROM m ORDER BY doc_id
+    """
+
+
+_CONTAM_N = 8  # word n-gram width for the decontamination screen
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen (operators/curate.
+    contamination_scores): the fraction of each corpus document's distinct
+    8-word-grams appearing in the benchmark slice (doc_id % 20 == 0 — a
+    deterministic stand-in for an eval suite). The benchmark gram set is
+    broadcast; the corpus never self-joins."""
+    from entity_matching_spark.operators.curate import contamination_scores
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return contamination_scores(corpus, bench, n=_CONTAM_N).orderBy("doc_id")
+
+
+def _sql_text_contamination(sf: str) -> str:
+    n = _CONTAM_N
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(arr) >= {n}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(arr) - {n - 1}),
+                         i -> array_to_string(list_slice(arr, i, i + {n - 1}), ' ')))
+                  ELSE [] END AS gs
+      FROM arrs
+    ),
+    bgrams AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 20 = 0
+    ),
+    dgrams AS (
+      SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 20 <> 0
+    ),
+    agg AS (
+      SELECT d.doc_id, count(*) AS n_grams, count(b.gram) AS n_matched
+      FROM dgrams d LEFT JOIN bgrams b USING (gram) GROUP BY 1
+    )
+    SELECT a.doc_id,
+           coalesce(g.n_grams, 0) AS n_grams,
+           coalesce(g.n_matched, 0) AS n_matched,
+           round(CASE WHEN coalesce(g.n_grams, 0) > 0
+                      THEN CAST(g.n_matched AS DOUBLE) / g.n_grams
+                      ELSE 0.0 END, 9) AS contamination
+    FROM (SELECT doc_id FROM arrs WHERE doc_id % 20 <> 0) a
+    LEFT JOIN agg g USING (doc_id)
+    ORDER BY a.doc_id
+    """
+
+
+# per-stratum keep rates for the sampling query (default 0.1 for the rest)
+_SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT_RATE = 0.1
+
+
+def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/curate.stratified_sample)
+    — md5-hash Bernoulli per source stratum; the DuckDB oracle draws the
+    IDENTICAL sample because the variate is a pure engine-portable function
+    of (salt, doc_id)."""
+    from entity_matching_spark.operators.curate import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"), _SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT_RATE,
+    ).orderBy("doc_id")
+
+
+def _sql_text_sample(sf: str) -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({r} AS DOUBLE)" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source AS stratum,
+             round(('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0, 9) AS u,
+             CASE source {cases} ELSE CAST({_SAMPLE_DEFAULT_RATE} AS DOUBLE) END AS rate
+      FROM documents
+    )
+    SELECT doc_id, stratum, u FROM s WHERE u < rate ORDER BY doc_id
+    """
+
+
 def q_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-vs-catalog matching mode through the SHIPPED operator
     (operators/catalog.match_records_to_catalog): catalog from supplier,
@@ -1958,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1974,6 +2224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_token_stats,
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
+        "text_pii": q_text_pii,
+        "text_contamination": q_text_contamination,
+        "text_sample": q_text_sample,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
         "multimodal_features": q_multimodal_features,
@@ -2004,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_jaccard": _sql_dedup_token_jaccard(sf),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(sf),
         "dedup_minhash_verified": _sql_dedup_minhash_verified(sf),
+        "dedup_canonical": _sql_dedup_canonical(sf),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(sf),
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(sf),
         "dedup_simhash": _sql_dedup_simhash(sf),
@@ -2021,5 +2275,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _sql_token_stats(sf),
         "text_quality_score": _sql_quality_score(sf),
         "text_lang_id": _sql_lang_id(sf),
+        "text_pii": _sql_text_pii(sf),
+        "text_contamination": _sql_text_contamination(sf),
+        "text_sample": _sql_text_sample(sf),
         "streaming_window": _sql_streaming_window(sf),
     }

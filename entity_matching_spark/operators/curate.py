@@ -1,0 +1,170 @@
+"""Corpus-curation operators (training-data pipeline family).
+
+The filter/select half of the LLM-data story, complementing the dedup family
+(operators/dedup.py finds what is redundant; these decide what to KEEP):
+
+- ``pii_stats``: regex PII detection + redaction (emails, SSNs, phone
+  numbers, IPv4) as native ``regexp_extract_all`` / ``regexp_replace``
+  projections — zero shuffle, throughput = the parquet scan. Patterns are
+  RE2-safe (no lookaround/backreferences) so any engine reproduces them.
+- ``contamination_scores``: benchmark-decontamination screen — the fraction
+  of each document's distinct word n-grams that appear anywhere in a
+  benchmark table (the standard 8-13-gram overlap test run before training).
+  The benchmark gram set is tiny relative to the corpus (eval suites are
+  KB-MB against TB-PB of training data), so the probe side is broadcast; the
+  corpus side never shuffles on anything wider than (doc_id, gram-hit).
+- ``stratified_sample``: deterministic hash-based Bernoulli sampling with
+  per-stratum rates — ``md5(salt|id)`` as the uniform variate, so the sample
+  is reproducible run-to-run, engine-portable (the DuckDB oracle draws the
+  identical sample), and a pure narrow projection+filter at any scale (no
+  shuffle, no RNG state, no driver coordination).
+
+No reference analog (graft-brief requirement beyond fmateoc/entity-matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# RE2- and Java-regex-compatible PII patterns (ASCII \b word boundaries,
+# no lookaround): applied with regexp_extract_all for counts and
+# regexp_replace (global) for redaction. Order matters for redaction: the
+# email pattern consumes dots/digits that the IP pattern could otherwise
+# half-match, so emails redact first.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_email, n_ssn, n_phone, n_ipv4, n_pii, redacted).
+
+    Counts are each computed over the ORIGINAL text (independent patterns);
+    the redacted column applies the replacements sequentially in
+    ``PII_PATTERNS`` order, substituting ``[EMAIL]``/``[SSN]``/... markers.
+    All native regex — whole-stage codegen, no shuffle.
+    """
+    counts = {
+        name: F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS
+    }
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        id_col,
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        total.alias("n_pii"),
+        red.alias("redacted"),
+    )
+
+
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """Distinct full-width word n-grams of ``text_col`` (empty array when the
+    document has fewer than n words) — same construction as the MinHash
+    shingles in operators/dedup.py, so gram semantics are shared corpus-wide."""
+    arr = F.filter(F.split(text_col, " "), lambda t: t != "")
+    return F.when(
+        F.size(arr) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-overlap decontamination screen.
+
+    For each document: ``n_grams`` distinct word n-grams, ``n_matched`` of
+    them appearing in ANY benchmark document, ``contamination`` = matched /
+    total (0.0 for documents shorter than n words). A training pipeline
+    drops or flags documents above a contamination threshold before they
+    leak eval answers into the model.
+
+    Scale shape: the benchmark gram set (eval suites — small by definition)
+    is deduplicated and BROADCAST, so the corpus side is a scan + broadcast
+    left-semi-style hash lookup + one groupBy on doc_id; the corpus never
+    self-joins and never shuffles gram strings. If the benchmark outgrows
+    the broadcast threshold, drop the hint and AQE falls back to a
+    sort-merge join — semantics unchanged.
+    """
+    doc_grams = docs.select(
+        id_col, F.explode_outer(_word_ngrams(text_col, n)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    # count() of a nullable column counts non-nulls: explode_outer emits one
+    # null-gram row for sub-n-word docs (n_grams 0), and "hit" is non-null
+    # only on benchmark matches — so both counts need no conditional sum
+    agg = joined.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count("hit").alias("n_matched"),
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        F.round(
+            F.when(F.col("n_grams") > 0, F.col("n_matched") / F.col("n_grams"))
+            .otherwise(0.0),
+            9,
+        ).alias("contamination"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (corpus mixing weights).
+
+    A document is kept iff ``u < rate[stratum]`` where ``u`` is the uniform
+    variate ``int(md5(salt|id)[:8], 16) / 2^32`` — a pure function of the
+    row, so the sample is identical run-to-run, resumable mid-corpus, and
+    reproducible by any engine that can md5 (the DuckDB oracle draws the
+    same rows). Changing ``salt`` redraws independently. No shuffle: a
+    narrow projection + filter, the correct shape for sampling 100 TB.
+
+    Output: sampled rows ``(doc_id, stratum, u)`` with u rounded to 9dp.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strat_col) == stratum, float(r)).otherwise(rate)
+    return (
+        docs.select(id_col, F.col(strat_col).alias("stratum"), F.round(u, 9).alias("u"),
+                    rate.alias("rate"))
+        .where(F.col("u") < F.col("rate"))
+        .select(id_col, "stratum", "u")
+    )

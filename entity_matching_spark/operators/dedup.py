@@ -524,6 +524,60 @@ def embedding_near_dup_pairs(
     return pairs.where(F.col("cos") >= threshold)
 
 
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into clusters and pick one canonical
+    document per cluster — the keep/drop decision that completes the 100 TB
+    dedup recipe (candidates -> exact confirm -> transitive closure ->
+    canonical selection).
+
+    ``pairs`` is (doc_a, doc_b, ...) from any near-dup operator
+    (minhash_verified_pairs, simhash_near_dup_pairs, token_jaccard_pairs...).
+    Clusters are the transitive closure via the same large-star/small-star
+    connected-components loop the ER pipeline uses (operators/cluster.py) —
+    A~B, B~C puts {A, B, C} in one cluster even when A-C never paired.
+    Canonical = the highest-``quality`` member (default: text.quality_scores
+    over ``docs``), ties broken by smallest doc_id — deterministic because
+    quality is a pure rounded function of the text.
+
+    Scale shape: CC shuffles edges only (two longs per pair); the per-cluster
+    argmax is one window over cluster_id, bounded by cluster size (which the
+    upstream pair operators already bound via their bucket/df caps).
+
+    Output: one row per CLUSTERED doc (singletons are implicitly kept):
+    (doc_id, cluster_id, canonical_doc, keep).
+    """
+    from .cluster import connected_components
+    from .text import quality_scores
+
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    labels = cc.select(F.col("conv_id").alias(id_col), "cluster_id")
+    if quality is None:
+        quality = quality_scores(docs, text_col=text_col, id_col=id_col).select(
+            id_col, "quality"
+        )
+    from pyspark.sql.window import Window
+
+    scored = labels.join(quality, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    canon = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("canonical_doc"))
+    )
+    return scored.join(canon, "cluster_id").select(
+        id_col, "cluster_id", "canonical_doc",
+        (F.col(id_col) == F.col("canonical_doc")).alias("keep"),
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     window: int = 16,

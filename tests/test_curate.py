@@ -1,0 +1,161 @@
+"""Unit tests for the curation operators (operators/curate.py) and the
+near-dup canonicalization (operators/dedup.canonical_docs) on small
+deterministic fixtures. The driver oracle (tools/check_oracles.py) covers
+cross-engine exactness; these pin the operator semantics directly."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+
+class TestPii:
+    @pytest.fixture(scope="class")
+    def pii_docs(self, spark):
+        rows = [
+            (1, "contact me at john.doe@example.com or 415-555-0123 ok"),
+            (2, "ssn 123-45-6789 and server 192.168.0.1 here"),
+            (3, "clean text with no pii at all"),
+            (4, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_counts_and_total(self, pii_docs):
+        from entity_matching_spark.operators.curate import pii_stats
+
+        got = {r["doc_id"]: r.asDict() for r in pii_stats(pii_docs).collect()}
+        assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+        assert got[1]["n_pii"] == 2
+        assert got[2]["n_ssn"] == 1 and got[2]["n_ipv4"] == 1 and got[2]["n_pii"] == 2
+        assert got[3]["n_pii"] == 0 and got[4]["n_pii"] == 0
+
+    def test_redaction_markers(self, pii_docs):
+        from entity_matching_spark.operators.curate import pii_stats
+
+        got = {r["doc_id"]: r["redacted"] for r in pii_stats(pii_docs).collect()}
+        assert got[1] == "contact me at [EMAIL] or [PHONE] ok"
+        assert got[2] == "ssn [SSN] and server [IPV4] here"
+        assert got[3] == "clean text with no pii at all"
+
+    def test_ssn_is_not_double_counted_as_phone(self, spark):
+        from entity_matching_spark.operators.curate import pii_stats
+
+        docs = spark.createDataFrame([(1, "id 123-45-6789 x")], "doc_id int, text string")
+        row = pii_stats(docs).collect()[0]
+        assert row["n_ssn"] == 1 and row["n_phone"] == 0
+
+
+class TestContamination:
+    def test_overlap_fraction(self, spark):
+        from entity_matching_spark.operators.curate import contamination_scores
+
+        corpus = spark.createDataFrame(
+            [
+                # grams (n=3): 4 total, 2 of them inside the benchmark text
+                (1, "a b c d e x y"),
+                # fewer than n words -> zero grams, contamination 0.0
+                (2, "a b"),
+                # no overlap at all
+                (3, "p q r s t"),
+            ],
+            "doc_id int, text string",
+        )
+        bench = spark.createDataFrame([(100, "a b c d")], "doc_id int, text string")
+        got = {r["doc_id"]: r.asDict() for r in
+               contamination_scores(corpus, bench, n=3).collect()}
+        # doc 1: grams {abc, bcd, cde, dex, exy}; bench grams {abc, bcd}
+        assert got[1]["n_grams"] == 5 and got[1]["n_matched"] == 2
+        assert abs(got[1]["contamination"] - 0.4) < 1e-9
+        assert got[2]["n_grams"] == 0 and got[2]["contamination"] == 0.0
+        assert got[3]["n_matched"] == 0
+
+    def test_all_docs_present_in_output(self, spark):
+        from entity_matching_spark.operators.curate import contamination_scores
+
+        corpus = spark.createDataFrame(
+            [(i, "w") for i in range(10)], "doc_id int, text string"
+        )
+        bench = spark.createDataFrame([(99, "a b c")], "doc_id int, text string")
+        assert contamination_scores(corpus, bench, n=3).count() == 10
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_respecting(self, spark):
+        from entity_matching_spark.operators.curate import stratified_sample
+
+        docs = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("source"),
+        )
+        s1 = stratified_sample(docs, {"web": 0.25, "books": 0.75})
+        s2 = stratified_sample(docs, {"web": 0.25, "books": 0.75})
+        r1 = sorted(r["doc_id"] for r in s1.collect())
+        assert r1 == sorted(r["doc_id"] for r in s2.collect())  # reproducible
+        counts = {r["stratum"]: r["n"] for r in
+                  s1.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+        # 2000 per stratum; binomial(2000, p) stays well within 5 sigma
+        assert abs(counts["web"] - 500) < 100
+        assert abs(counts["books"] - 1500) < 100
+
+    def test_variate_matches_reference_md5(self, spark):
+        from entity_matching_spark.operators.curate import stratified_sample
+
+        docs = spark.createDataFrame([(7, "web")], "doc_id int, source string")
+        got = stratified_sample(docs, {"web": 1.0}).collect()[0]
+        expect = round(int(hashlib.md5(b"s1|7").hexdigest()[:8], 16) / 2**32, 9)
+        assert abs(got["u"] - expect) < 1e-12
+
+    def test_salt_redraws(self, spark):
+        from entity_matching_spark.operators.curate import stratified_sample
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"), F.lit("web").alias("source")
+        )
+        a = {r["doc_id"] for r in stratified_sample(docs, {"web": 0.5}, salt="s1").collect()}
+        b = {r["doc_id"] for r in stratified_sample(docs, {"web": 0.5}, salt="s2").collect()}
+        assert a != b and len(a & b) > 0  # independent draws overlap partially
+
+
+class TestCanonicalDocs:
+    def test_transitive_cluster_keeps_best_quality(self, spark):
+        from entity_matching_spark.operators.dedup import canonical_docs
+
+        docs = spark.createDataFrame(
+            [
+                # 3-doc chain: 1-2 and 2-3 pair, 1-3 never does -> one cluster
+                (1, "short"),
+                (2, "a much longer and therefore higher quality document of the three"),
+                (3, "mid length document here"),
+                (4, "isolated doc never paired"),
+            ],
+            "doc_id int, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a int, doc_b int")
+        got = {r["doc_id"]: r.asDict() for r in canonical_docs(docs, pairs).collect()}
+        assert set(got) == {1, 2, 3}  # singletons don't appear
+        assert all(r["cluster_id"] == 1 for r in got.values())
+        assert all(r["canonical_doc"] == 2 for r in got.values())
+        assert got[2]["keep"] is True
+        assert got[1]["keep"] is False and got[3]["keep"] is False
+
+    def test_quality_tie_breaks_to_min_id(self, spark):
+        from entity_matching_spark.operators.dedup import canonical_docs
+
+        docs = spark.createDataFrame(
+            [(5, "same text"), (9, "same text")], "doc_id int, text string"
+        )
+        pairs = spark.createDataFrame([(5, 9)], "doc_a int, doc_b int")
+        got = {r["doc_id"]: r.asDict() for r in canonical_docs(docs, pairs).collect()}
+        assert got[5]["keep"] is True and got[9]["keep"] is False
+
+    def test_explicit_quality_overrides_default(self, spark):
+        from entity_matching_spark.operators.dedup import canonical_docs
+
+        docs = spark.createDataFrame(
+            [(1, "irrelevant"), (2, "irrelevant")], "doc_id int, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "doc_a int, doc_b int")
+        quality = spark.createDataFrame([(1, 0.1), (2, 0.9)], "doc_id int, quality double")
+        got = {r["doc_id"]: r["keep"] for r in
+               canonical_docs(docs, pairs, quality=quality).collect()}
+        assert got[2] is True and got[1] is False
