@@ -113,9 +113,11 @@ BENCH_QUERIES = [
     "em_jaro_winkler", "em_levenshtein", "em_sorted_neighborhood",
     "em_top_k", "em_connected_components", "em_catalog_match",
     "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_token_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_canonical",
     "doc_fingerprint", "ann_cosine_topk", "ann_ivf_search", "ann_kmeans_train",
-    "text_quality_score", "text_lang_id", "multimodal_features", "multimodal_frames",
+    "text_quality_score", "text_lang_id",
+    "text_pii", "text_contamination", "text_sample",
+    "multimodal_features", "multimodal_frames",
 ]
 
 
