@@ -1771,6 +1771,66 @@ def _sql_text_sample(sf: str) -> str:
     """
 
 
+_REP_TOP_N = 2  # top-gram width for the repetition signals
+_REP_DUP_N = 5  # duplicate-gram width
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/curate.repetition_stats):
+    top-2-gram character fraction + duplicate-5-gram fraction. The Spark
+    side is a ZERO-SHUFFLE per-row run-length fold over the sorted gram
+    array (F.aggregate, whole-stage codegen); the oracle computes the same
+    quantities by explode + GROUP BY — two structurally different plans
+    that must agree value-for-value."""
+    from entity_matching_spark.operators.curate import repetition_stats
+
+    return repetition_stats(
+        _read(spark, sf_dir, "documents"), top_n=_REP_TOP_N, dup_n=_REP_DUP_N
+    ).orderBy("doc_id")
+
+
+def _sql_text_repetition(sf: str) -> str:
+    tn, dn = _REP_TOP_N, _REP_DUP_N
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, text,
+             CASE WHEN len(arr) >= {tn}
+                  THEN list_transform(generate_series(1, len(arr) - {tn - 1}),
+                         i -> array_to_string(list_slice(arr, i, i + {tn - 1}), ' '))
+                  ELSE [] END AS tg,
+             CASE WHEN len(arr) >= {dn}
+                  THEN list_transform(generate_series(1, len(arr) - {dn - 1}),
+                         i -> array_to_string(list_slice(arr, i, i + {dn - 1}), ' '))
+                  ELSE [] END AS dg
+      FROM arrs
+    ),
+    tcnt AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(tg) AS g FROM grams) GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, g, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+      FROM tcnt
+    )
+    SELECT g.doc_id,
+           coalesce(t.c, 0) AS top_ngram_count,
+           t.g AS top_ngram,
+           round(CASE WHEN length(g.text) > 0 AND coalesce(t.c, 0) > 0
+                      THEN CAST(t.c AS DOUBLE) * length(t.g) / length(g.text)
+                      ELSE 0.0 END, 9) AS top_ngram_frac,
+           len(g.dg) AS n_dup_grams,
+           round(CASE WHEN len(g.dg) > 0
+                      THEN 1.0 - CAST(len(list_distinct(g.dg)) AS DOUBLE) / len(g.dg)
+                      ELSE 0.0 END, 9) AS dup_ngram_frac
+    FROM grams g LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    ORDER BY g.doc_id
+    """
+
+
 def q_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-vs-catalog matching mode through the SHIPPED operator
     (operators/catalog.match_records_to_catalog): catalog from supplier,
@@ -2227,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_contamination": q_text_contamination,
         "text_sample": q_text_sample,
+        "text_repetition": q_text_repetition,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
         "multimodal_features": q_multimodal_features,
@@ -2278,5 +2339,6 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": _sql_text_pii(sf),
         "text_contamination": _sql_text_contamination(sf),
         "text_sample": _sql_text_sample(sf),
+        "text_repetition": _sql_text_repetition(sf),
         "streaming_window": _sql_streaming_window(sf),
     }

@@ -133,6 +133,85 @@ def contamination_scores(
     )
 
 
+def _word_ngrams_all(text_col: str, n: int) -> F.Column:
+    """ALL word n-grams (duplicates kept, empty array when fewer than n
+    words) — the multiset ``_word_ngrams`` deduplicates."""
+    arr = F.filter(F.split(text_col, " "), lambda t: t != "")
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    top_n: int = 2,
+    dup_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``top_ngram_frac``: characters covered by the single most frequent
+      ``top_n``-word-gram (count x gram length) over total characters — the
+      "top n-gram character fraction" filter;
+    - ``dup_ngram_frac``: fraction of ``dup_n``-gram occurrences that are
+      repeats of an earlier occurrence (1 - distinct/total) — the
+      "duplicate n-gram fraction" filter;
+    both 0.0 for documents too short to form a gram.
+
+    Scale shape: ZERO shuffle. The top-gram count is a per-row run-length
+    fold over the SORTED gram array (``F.aggregate``) — O(g log g) per
+    document, all whole-stage codegen, no explode/groupBy — so throughput is
+    the parquet scan even at 100 TB. Ties on count break to the
+    lexicographically-largest gram (the sorted fold's last maximal run),
+    which the SQL oracle reproduces with ORDER BY (count, gram) DESC — the
+    two engines compute the same quantity by entirely different plans.
+    """
+    top_grams = F.sort_array(_word_ngrams_all(text_col, top_n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def step(acc, g):
+        run = F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run >= acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    top = F.aggregate(top_grams, init, step)
+    dup_grams = _word_ngrams_all(text_col, dup_n)
+    n_dup_total = F.size(dup_grams)
+    n_dup_distinct = F.size(F.array_distinct(dup_grams))
+    n_chars = F.length(text_col)
+    top_frac = F.when(
+        (n_chars > 0) & top["best"].isNotNull() & (top["best"] > 0),
+        top["best"] * F.length(top["bestg"]) / n_chars,
+    ).otherwise(0.0)
+    dup_frac = F.when(
+        n_dup_total > 0, 1.0 - n_dup_distinct / n_dup_total
+    ).otherwise(0.0)
+    return docs.select(
+        id_col,
+        F.coalesce(top["best"], zero).alias("top_ngram_count"),
+        top["bestg"].alias("top_ngram"),
+        F.round(top_frac, 9).alias("top_ngram_frac"),
+        n_dup_total.alias("n_dup_grams"),
+        F.round(dup_frac, 9).alias("dup_ngram_frac"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -116,6 +116,55 @@ class TestStratifiedSample:
         assert a != b and len(a & b) > 0  # independent draws overlap partially
 
 
+class TestRepetitionStats:
+    def test_top_gram_and_dup_fraction(self, spark):
+        from entity_matching_spark.operators.curate import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                # "a b" occurs 3x (grams: ab,ba,ab,ba,ab,bc) -> top count 3
+                (1, "a b a b a b c"),
+                # all 2-grams distinct
+                (2, "p q r s"),
+                # too short for any gram
+                (3, "x"),
+                (4, ""),
+            ],
+            "doc_id int, text string",
+        )
+        got = {r["doc_id"]: r.asDict() for r in
+               repetition_stats(docs, top_n=2, dup_n=2).collect()}
+        assert got[1]["top_ngram"] == "a b" and got[1]["top_ngram_count"] == 3
+        # 3 occurrences x 3 chars over 13 chars of text
+        assert abs(got[1]["top_ngram_frac"] - 9 / 13) < 1e-9
+        # 6 grams, 3 distinct (ab, ba, bc) -> dup fraction 0.5
+        assert got[1]["n_dup_grams"] == 6
+        assert abs(got[1]["dup_ngram_frac"] - 0.5) < 1e-9
+        assert got[2]["top_ngram_count"] == 1 and got[2]["dup_ngram_frac"] == 0.0
+        assert got[3]["top_ngram_count"] == 0 and got[3]["top_ngram"] is None
+        assert got[3]["top_ngram_frac"] == 0.0 and got[4]["dup_ngram_frac"] == 0.0
+
+    def test_tie_breaks_to_lexicographically_largest(self, spark):
+        from entity_matching_spark.operators.curate import repetition_stats
+
+        # "a b" and "c d" both occur twice; the tie must go to "c d"
+        docs = spark.createDataFrame(
+            [(1, "a b z c d z a b z c d")], "doc_id int, text string"
+        )
+        row = repetition_stats(docs, top_n=2, dup_n=5).collect()[0]
+        assert row["top_ngram"] == "z c" or row["top_ngram_count"] == 2
+        # exact check: count all 2-grams -> ab x2, bz x2, zc x2, cd x2, dz x1, za x1, zc...
+        # grams: ab bz zc cd dz za ab bz zc cd -> ab2 bz2 zc2 cd2 dz1 za1; max ties at 2 -> "z c"
+        assert row["top_ngram"] == "z c" and row["top_ngram_count"] == 2
+
+    def test_zero_shuffle_plan(self, spark):
+        from entity_matching_spark.operators.curate import repetition_stats
+
+        docs = spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
+        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure per-row projection
+
+
 class TestCanonicalDocs:
     def test_transitive_cluster_keeps_best_quality(self, spark):
         from entity_matching_spark.operators.dedup import canonical_docs
