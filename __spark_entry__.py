@@ -1831,6 +1831,148 @@ def _sql_text_repetition(sf: str) -> str:
     """
 
 
+# curation-funnel thresholds (chosen so every drop reason fires at sf0.01:
+# quality p5 ~ 0.22, top-2-gram frac p90 ~ 0.13, benchmark members hit
+# contamination ~ 1.0 plus two organic corpus docs > 0.05)
+_CUR_MIN_QUALITY = 0.25
+_CUR_MAX_TOP_FRAC = 0.15
+_CUR_MAX_CONTAM = 0.05
+
+
+def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation FUNNEL (operators/curate.curation_report):
+    quality + repetition + contamination + near-dup clustering + sampling
+    joined into one keep/drop decision with reasons — the complete
+    training-data pipeline over the documents table, every stage of which
+    is independently oracle-checked by its own driver query."""
+    from entity_matching_spark.operators.curate import curation_report
+    from entity_matching_spark.operators.dedup import minhash_verified_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    pairs = minhash_verified_pairs(
+        docs, threshold=0.3, num_hashes=_MINHASH_K, rows_per_band=2, shingle=3
+    )
+    return curation_report(
+        docs, bench, pairs, _SAMPLE_RATES,
+        min_quality=_CUR_MIN_QUALITY, max_top_ngram_frac=_CUR_MAX_TOP_FRAC,
+        max_contamination=_CUR_MAX_CONTAM, default_rate=_SAMPLE_DEFAULT_RATE,
+        top_n=_REP_TOP_N, dup_n=_REP_DUP_N, contam_n=_CONTAM_N,
+    ).orderBy("doc_id")
+
+
+def _sql_text_curation(sf: str) -> str:
+    tn, cn = _REP_TOP_N, _CONTAM_N
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({r} AS DOUBLE)" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+    WITH RECURSIVE {_sql_minhash_verified_ctes()},
+    vpairs AS (
+      SELECT doc_a, doc_b FROM j
+      WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.3
+    ),
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM vpairs
+    ),
+    reach (a, b) AS (
+      SELECT a, b FROM undirected
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    closure AS (
+      SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM undirected
+    ),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM closure GROUP BY a),
+    {_sql_quality_cte()},
+    cl_scored AS (
+      SELECT l.doc_id, l.cluster_id, q.quality FROM labels l JOIN q USING (doc_id)
+    ),
+    cl_ranked AS (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM cl_scored
+    ),
+    canon AS (SELECT cluster_id, doc_id AS canonical_doc FROM cl_ranked WHERE rn = 1),
+    keepflag AS (
+      SELECT s.doc_id, s.doc_id = c.canonical_doc AS keep
+      FROM cl_scored s JOIN canon c USING (cluster_id)
+    ),
+    rgrams AS (
+      SELECT doc_id, text,
+             CASE WHEN len(arr) >= {tn}
+                  THEN list_transform(generate_series(1, len(arr) - {tn - 1}),
+                         i -> array_to_string(list_slice(arr, i, i + {tn - 1}), ' '))
+                  ELSE [] END AS tg,
+             CASE WHEN len(arr) >= {cn}
+                  THEN list_distinct(list_transform(generate_series(1, len(arr) - {cn - 1}),
+                         i -> array_to_string(list_slice(arr, i, i + {cn - 1}), ' ')))
+                  ELSE [] END AS cg
+      FROM arrs JOIN documents USING (doc_id)
+    ),
+    rcnt AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(tg) AS g FROM rgrams) GROUP BY 1, 2
+    ),
+    rtop AS (
+      SELECT doc_id, g, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+      FROM rcnt
+    ),
+    repf AS (
+      SELECT g.doc_id,
+             round(CASE WHEN length(g.text) > 0 AND coalesce(t.c, 0) > 0
+                        THEN CAST(t.c AS DOUBLE) * length(t.g) / length(g.text)
+                        ELSE 0.0 END, 9) AS top_ngram_frac
+      FROM rgrams g LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) t USING (doc_id)
+    ),
+    cbench AS (SELECT DISTINCT unnest(cg) AS gram FROM rgrams WHERE doc_id % 20 = 0),
+    cagg AS (
+      SELECT d.doc_id, count(*) AS n_grams, count(b.gram) AS n_matched
+      FROM (SELECT doc_id, unnest(cg) AS gram FROM rgrams) d
+      LEFT JOIN cbench b USING (gram) GROUP BY 1
+    ),
+    contam AS (
+      SELECT doc_id,
+             round(CASE WHEN n_grams > 0 THEN CAST(n_matched AS DOUBLE) / n_grams
+                        ELSE 0.0 END, 9) AS contamination
+      FROM cagg
+    ),
+    samp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0
+               < (CASE source {cases} ELSE CAST({_SAMPLE_DEFAULT_RATE} AS DOUBLE) END)
+               AS sampled
+      FROM documents
+    ),
+    final AS (
+      SELECT d.doc_id, q.quality, r.top_ngram_frac,
+             coalesce(c.contamination, 0.0) AS contamination,
+             coalesce(NOT k.keep, FALSE) AS near_dup,
+             s.sampled
+      FROM documents d
+      JOIN q USING (doc_id)
+      JOIN repf r USING (doc_id)
+      LEFT JOIN contam c USING (doc_id)
+      LEFT JOIN keepflag k USING (doc_id)
+      JOIN samp s USING (doc_id)
+    )
+    SELECT doc_id, quality, top_ngram_frac, contamination, near_dup, sampled,
+           coalesce(array_to_string(list_sort(list_filter([
+             CASE WHEN quality < {_CUR_MIN_QUALITY} THEN 'low_quality' END,
+             CASE WHEN top_ngram_frac > {_CUR_MAX_TOP_FRAC} THEN 'repetitive' END,
+             CASE WHEN contamination > {_CUR_MAX_CONTAM} THEN 'contaminated' END,
+             CASE WHEN near_dup THEN 'near_duplicate' END
+           ], x -> x IS NOT NULL)), ','), '') AS drop_reasons,
+           (quality >= {_CUR_MIN_QUALITY} AND top_ngram_frac <= {_CUR_MAX_TOP_FRAC}
+            AND contamination <= {_CUR_MAX_CONTAM} AND NOT near_dup AND sampled) AS kept
+    FROM final ORDER BY doc_id
+    """
+
+
 def q_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-vs-catalog matching mode through the SHIPPED operator
     (operators/catalog.match_records_to_catalog): catalog from supplier,
@@ -2288,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "text_sample": q_text_sample,
         "text_repetition": q_text_repetition,
+        "text_curation": q_text_curation,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
         "multimodal_features": q_multimodal_features,
@@ -2340,5 +2483,6 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination": _sql_text_contamination(sf),
         "text_sample": _sql_text_sample(sf),
         "text_repetition": _sql_text_repetition(sf),
+        "text_curation": _sql_text_curation(sf),
         "streaming_window": _sql_streaming_window(sf),
     }

@@ -171,6 +171,13 @@ def repetition_stats(
     which the SQL oracle reproduces with ORDER BY (count, gram) DESC — the
     two engines compute the same quantity by entirely different plans.
     """
+    cols = repetition_columns(text_col, top_n, dup_n)
+    return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
+
+
+def repetition_columns(text_col: str = "text", top_n: int = 2, dup_n: int = 5) -> dict:
+    """The repetition-signal expressions as reusable Columns (same
+    one-scan-composition contract as text.quality_columns)."""
     top_grams = F.sort_array(_word_ngrams_all(text_col, top_n))
     zero = F.lit(0).cast("long")
     init = F.struct(
@@ -202,14 +209,13 @@ def repetition_stats(
     dup_frac = F.when(
         n_dup_total > 0, 1.0 - n_dup_distinct / n_dup_total
     ).otherwise(0.0)
-    return docs.select(
-        id_col,
-        F.coalesce(top["best"], zero).alias("top_ngram_count"),
-        top["bestg"].alias("top_ngram"),
-        F.round(top_frac, 9).alias("top_ngram_frac"),
-        n_dup_total.alias("n_dup_grams"),
-        F.round(dup_frac, 9).alias("dup_ngram_frac"),
-    )
+    return {
+        "top_ngram_count": F.coalesce(top["best"], zero),
+        "top_ngram": top["bestg"],
+        "top_ngram_frac": F.round(top_frac, 9),
+        "n_dup_grams": n_dup_total,
+        "dup_ngram_frac": F.round(dup_frac, 9),
+    }
 
 
 def stratified_sample(
@@ -231,6 +237,24 @@ def stratified_sample(
 
     Output: sampled rows ``(doc_id, stratum, u)`` with u rounded to 9dp.
     """
+    u, rate = sample_columns(rates, default_rate, strat_col, id_col, salt)
+    return (
+        docs.select(id_col, F.col(strat_col).alias("stratum"), F.round(u, 9).alias("u"),
+                    rate.alias("rate"))
+        .where(F.col("u") < F.col("rate"))
+        .select(id_col, "stratum", "u")
+    )
+
+
+def sample_columns(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+) -> tuple:
+    """``(u, rate)`` Column pair behind ``stratified_sample`` — reusable so
+    composites evaluate the sampling decision in their own scan."""
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 8),
@@ -241,9 +265,79 @@ def stratified_sample(
     rate = F.lit(float(default_rate))
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(strat_col) == stratum, float(r)).otherwise(rate)
-    return (
-        docs.select(id_col, F.col(strat_col).alias("stratum"), F.round(u, 9).alias("u"),
-                    rate.alias("rate"))
-        .where(F.col("u") < F.col("rate"))
-        .select(id_col, "stratum", "u")
+    return u, rate
+
+
+def curation_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    near_dup_pairs: DataFrame,
+    sample_rates: dict[str, float],
+    min_quality: float = 0.25,
+    max_top_ngram_frac: float = 0.15,
+    max_contamination: float = 0.05,
+    default_rate: float = 0.0,
+    top_n: int = 2,
+    dup_n: int = 5,
+    contam_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    salt: str = "s1",
+) -> DataFrame:
+    """The end-to-end corpus-curation FUNNEL: every per-document signal the
+    family computes, joined into one keep/drop decision with reasons —
+    what a training-data pipeline actually ships.
+
+    Per document: quality score (text.quality_columns), top-n-gram
+    repetition fraction (repetition_columns), benchmark contamination
+    (contamination_scores), near-duplicate membership (dedup.canonical_docs
+    over ``near_dup_pairs`` — a doc is dropped when its cluster keeps a
+    better copy), and the deterministic stratified-sampling draw
+    (sample_columns). ``drop_reasons`` is the comma-joined sorted list of
+    fired filters; ``kept`` = no reasons AND sampled.
+
+    Scale shape: ONE corpus scan computes every projection-only signal
+    (quality + repetition + sampling — zero shuffle); contamination adds a
+    groupBy(doc_id) against the broadcast benchmark gram set; near-dup adds
+    the CC loop over id-pair edges. The final assembly is two LEFT joins on
+    ``doc_id`` — both sides already keyed, no data-sized broadcasts.
+    """
+    from .dedup import canonical_docs
+    from .text import quality_columns
+
+    q = quality_columns(text_col)["quality"]
+    rep = repetition_columns(text_col, top_n, dup_n)["top_ngram_frac"]
+    u, rate = sample_columns(sample_rates, default_rate, strat_col, id_col, salt)
+    base = docs.select(
+        id_col,
+        q.alias("quality"),
+        rep.alias("top_ngram_frac"),
+        (u < rate).alias("sampled"),
+    )
+    cont = contamination_scores(docs, benchmark, n=contam_n,
+                                text_col=text_col, id_col=id_col
+                                ).select(id_col, "contamination")
+    canon = canonical_docs(docs, near_dup_pairs, text_col=text_col, id_col=id_col
+                           ).select(id_col, "keep")
+    df = base.join(cont, id_col, "left").join(canon, id_col, "left")
+    near_dup = ~F.coalesce(F.col("keep"), F.lit(True))
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("quality") < min_quality, "low_quality"),
+            F.when(F.col("top_ngram_frac") > max_top_ngram_frac, "repetitive"),
+            F.when(F.coalesce(F.col("contamination"), F.lit(0.0)) > max_contamination,
+                   "contaminated"),
+            F.when(near_dup, "near_duplicate"),
+        )
+    )
+    return df.select(
+        id_col,
+        "quality",
+        "top_ngram_frac",
+        F.coalesce(F.col("contamination"), F.lit(0.0)).alias("contamination"),
+        near_dup.alias("near_dup"),
+        "sampled",
+        F.concat_ws(",", F.sort_array(reasons)).alias("drop_reasons"),
+        ((F.size(reasons) == 0) & F.col("sampled")).alias("kept"),
     )

@@ -41,13 +41,10 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def quality_scores(
-    docs: DataFrame,
-    stopwords: tuple = STOPWORDS,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(doc_id, n_tokens, n_stopwords, n_punct, quality in [0,1])."""
+def quality_columns(text_col: str = "text", stopwords: tuple = STOPWORDS) -> dict:
+    """The quality-score expressions as reusable Columns — so composite
+    operators (curate.curation_report) can evaluate them in the SAME scan
+    projection instead of joining a separate quality DataFrame."""
     toks = F.filter(F.split(text_col, " "), lambda t: t != "")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
@@ -60,10 +57,18 @@ def quality_scores(
         0.5 * len_score + 0.4 * F.least(stop_ratio * 4, F.lit(1.0))
         + 0.1 * (1 - F.least(punct_ratio * 10, F.lit(1.0))), 9,
     )
-    return docs.select(
-        id_col, n_tok.alias("n_tokens"), n_stop.alias("n_stopwords"),
-        n_punct.alias("n_punct"), q.alias("quality"),
-    )
+    return {"n_tokens": n_tok, "n_stopwords": n_stop, "n_punct": n_punct, "quality": q}
+
+
+def quality_scores(
+    docs: DataFrame,
+    stopwords: tuple = STOPWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_stopwords, n_punct, quality in [0,1])."""
+    cols = quality_columns(text_col, stopwords)
+    return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
 def language_id(

@@ -165,6 +165,55 @@ class TestRepetitionStats:
         assert "Exchange" not in plan  # pure per-row projection
 
 
+class TestCurationReport:
+    @pytest.fixture(scope="class")
+    def funnel(self, spark):
+        from entity_matching_spark.operators.curate import curation_report
+
+        long_good = " ".join(
+            f"w{i} the of and in to is on for with" for i in range(12)
+        )  # long, stopword-rich, no repetition -> high quality
+        docs = spark.createDataFrame(
+            [
+                (1, long_good, "web"),
+                (2, "!!!", "web"),                        # all punctuation -> quality ~0.003
+                (3, "a b a b a b a b a b a b", "web"),    # repetitive top-2-gram
+                (4, long_good + " trailing", "web"),      # near-dup of 1
+                # stopword-rich (quality ~0.54) but identical to the benchmark
+                (5, "the of and in to is on for with p q r s", "web"),
+            ],
+            "doc_id int, text string, source string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the of and in to is on for with p q r s", "eval")],
+            "doc_id int, text string, source string",
+        )
+        pairs = spark.createDataFrame([(1, 4)], "doc_a int, doc_b int")
+        out = curation_report(
+            docs, bench, pairs, {"web": 1.0},
+            min_quality=0.1, max_top_ngram_frac=0.5,
+            max_contamination=0.5, contam_n=3,
+        )
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_reasons_fire_per_document(self, funnel):
+        assert funnel[2]["drop_reasons"] == "low_quality"
+        assert "repetitive" in funnel[3]["drop_reasons"]
+        assert funnel[5]["drop_reasons"] == "contaminated"
+        # doc 4 is marginally longer -> higher quality -> it is the cluster's
+        # canonical; doc 1 is the one dropped as the near-duplicate
+        assert funnel[1]["drop_reasons"] == "near_duplicate"
+        assert funnel[4]["drop_reasons"] == "" and funnel[4]["kept"] is True
+
+    def test_near_dup_cluster_keeps_exactly_one(self, funnel):
+        keeps = [funnel[1]["near_dup"], funnel[4]["near_dup"]]
+        assert sorted(keeps) == [False, True]  # one canonical, one dropped
+
+    def test_kept_requires_sampled_and_no_reasons(self, funnel):
+        for d, row in funnel.items():
+            assert row["kept"] == (row["drop_reasons"] == "" and row["sampled"])
+
+
 class TestCanonicalDocs:
     def test_transitive_cluster_keeps_best_quality(self, spark):
         from entity_matching_spark.operators.dedup import canonical_docs
