@@ -1831,6 +1831,31 @@ def _sql_text_repetition(sf: str) -> str:
     """
 
 
+_VOCAB_K = 50
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k vocabulary (operators/text.vocab_topk): explode ->
+    map-side-combined groupBy -> TakeOrderedAndProject (per-partition top-k,
+    no global sort). Deterministic tie-break (count desc, token asc)."""
+    from entity_matching_spark.operators.text import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=_VOCAB_K).orderBy("rank")
+
+
+def _sql_text_vocab(sf: str) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    )
+    SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank, token, cnt
+    FROM counts ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_K}
+    """
+
+
 # curation-funnel thresholds (chosen so every drop reason fires at sf0.01:
 # quality p5 ~ 0.22, top-2-gram frac p90 ~ 0.13, benchmark members hit
 # contamination ~ 1.0 plus two organic corpus docs > 0.05)
@@ -2431,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample": q_text_sample,
         "text_repetition": q_text_repetition,
         "text_curation": q_text_curation,
+        "text_vocab": q_text_vocab,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
         "multimodal_features": q_multimodal_features,
@@ -2484,5 +2510,6 @@ def oracle_sql() -> dict[str, str]:
         "text_sample": _sql_text_sample(sf),
         "text_repetition": _sql_text_repetition(sf),
         "text_curation": _sql_text_curation(sf),
+        "text_vocab": _sql_text_vocab(sf),
         "streaming_window": _sql_streaming_window(sf),
     }

@@ -117,7 +117,7 @@ BENCH_QUERIES = [
     "doc_fingerprint", "ann_cosine_topk", "ann_ivf_search", "ann_kmeans_train",
     "text_quality_score", "text_lang_id",
     "text_pii", "text_contamination", "text_sample", "text_repetition",
-    "text_curation",
+    "text_curation", "text_vocab",
     "multimodal_features", "multimodal_frames",
 ]
 

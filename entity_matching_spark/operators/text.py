@@ -71,6 +71,30 @@ def quality_scores(
     return docs.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
+def vocab_topk(
+    docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(rank, token, cnt): the corpus's top-``k`` whitespace tokens by
+    frequency, ties broken to the lexicographically-smallest token — the
+    vocabulary-induction / corpus-profiling primitive.
+
+    Scale shape: explode -> groupBy(token) runs with map-side partial
+    aggregation (token cardinality << token occurrences), and the final
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — per-partition
+    top-k merged on the driver, NO global sort shuffle. The k-row ranking
+    window is a driver-sized afterthought.
+    """
+    toks = docs.select(
+        F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return top.select(F.row_number().over(w).alias("rank"), "token", "cnt")
+
+
 def language_id(
     docs: DataFrame,
     markers: dict = LANG_MARKERS,

@@ -223,6 +223,26 @@ class TestTextOps:
         assert got[1] == "en" and got[2] == "fr" and got[3] == "de"
         assert got[4] == "unknown"
 
+    def test_vocab_topk_counts_and_tiebreak(self, spark):
+        from entity_matching_spark.operators.text import vocab_topk
+
+        df = spark.createDataFrame(
+            [(1, "b b b a a c"), (2, "a z z")], "doc_id int, text string"
+        )
+        rows = vocab_topk(df, k=3).collect()
+        # a:3, b:3 (tie -> 'a' first), z:2
+        assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == [
+            (1, "a", 3), (2, "b", 3), (3, "z", 2),
+        ]
+
+    def test_vocab_topk_plan_is_distributed_topk(self, spark):
+        from entity_matching_spark.operators.text import vocab_topk
+
+        df = spark.createDataFrame([(1, "a b a")], "doc_id int, text string")
+        plan = vocab_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
+        # per-partition top-k + driver merge, not a global sort shuffle
+        assert "TakeOrderedAndProject" in plan
+
 
 class TestDedupInvariants:
     def test_simhash_token_order_invariant(self, spark):
