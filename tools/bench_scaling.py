@@ -205,7 +205,12 @@ Raw JSON:
              "efficiency_8_to_32": round(eff_8_32, 4)}, indent=2)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # EM_SCALING_OUT redirects the report (e.g. a reduced-scale addendum run
+    # on a degraded host) so a weaker refresh never clobbers stronger evidence
+    out_path = os.environ.get(
+        "EM_SCALING_OUT", os.path.join(REPO, "BENCH", "BASELINE.md")
+    )
+    with open(out_path, "w") as f:
         f.write(md)
     print(json.dumps({"eff_2_8": round(eff_2_8, 4), "eff_8_32": round(eff_8_32, 4),
                       "ceiling": ceiling}))
