@@ -1762,12 +1762,14 @@ def _sql_text_sample(sf: str) -> str:
     return f"""
     WITH s AS (
       SELECT doc_id, source AS stratum,
-             round(('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   / 4294967296.0, 9) AS u,
+             -- keep decision on the UNROUNDED variate (matches
+             -- curate.sample_columns / curation_report); display rounded
+             ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u_raw,
              CASE source {cases} ELSE CAST({_SAMPLE_DEFAULT_RATE} AS DOUBLE) END AS rate
       FROM documents
     )
-    SELECT doc_id, stratum, u FROM s WHERE u < rate ORDER BY doc_id
+    SELECT doc_id, stratum, round(u_raw, 9) AS u FROM s WHERE u_raw < rate ORDER BY doc_id
     """
 
 
@@ -2363,7 +2365,11 @@ def _sql_streaming_window(sf: str) -> str:
     wm AS (SELECT max(id_num) - 60 AS cutoff FROM rows)
     SELECT (id_num // 60) * 60 AS rel_start_s,
            (id_num // 60) * 60 + 60 AS rel_end_s,
-           role, COUNT(*) AS n_turns, SUM(length(text)) AS total_chars
+           role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           -- DuckDB SUM(BIGINT) returns HUGEINT (int128), which the driver
+           -- harness stringifies differently from Spark's BIGINT; every
+           -- integer-sum oracle in this file casts back to BIGINT
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM rows, wm
     WHERE (id_num // 60) * 60 + 60 <= wm.cutoff
     GROUP BY 1, 2, 3

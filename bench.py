@@ -196,6 +196,12 @@ def main() -> int:
     out = {
         "metric": "candidate_pairs_scored_per_sec",
         "value": er["pairs_scored_per_sec"],
+        # host-speed-normalized headline: pipeline pairs/sec per unit of
+        # bare-kernel JW pairs/sec measured the same session — BENCH_r{N}
+        # files are directly comparable across rounds without manual division
+        "value_per_kcal": round(
+            er["pairs_scored_per_sec"] / max(cal["jw_pairs_per_sec"], 1e-9), 4
+        ),
         "unit": "sec",
         "queries": qtimes,
         "sf": sf,

@@ -11,8 +11,9 @@ The filter/select half of the LLM-data story, complementing the dedup family
   of each document's distinct word n-grams that appear anywhere in a
   benchmark table (the standard 8-13-gram overlap test run before training).
   The benchmark gram set is tiny relative to the corpus (eval suites are
-  KB-MB against TB-PB of training data), so the probe side is broadcast; the
-  corpus side never shuffles on anything wider than (doc_id, gram-hit).
+  KB-MB against TB-PB of training data), so AQE broadcasts the probe side
+  (no forced hint — an oversized benchmark degrades to SMJ, never a driver
+  OOM); the corpus never shuffles anything wider than (doc_id, gram-hit).
 - ``stratified_sample``: deterministic hash-based Bernoulli sampling with
   per-stratum rates — ``md5(salt|id)`` as the uniform variate, so the sample
   is reproducible run-to-run, engine-portable (the DuckDB oracle draws the
@@ -99,11 +100,12 @@ def contamination_scores(
     leak eval answers into the model.
 
     Scale shape: the benchmark gram set (eval suites — small by definition)
-    is deduplicated and BROADCAST, so the corpus side is a scan + broadcast
-    left-semi-style hash lookup + one groupBy on doc_id; the corpus never
-    self-joins and never shuffles gram strings. If the benchmark outgrows
-    the broadcast threshold, drop the hint and AQE falls back to a
-    sort-merge join — semantics unchanged.
+    is deduplicated and left to AQE, which broadcasts it at any realistic
+    size, so the corpus side is a scan + broadcast left hash lookup + one
+    groupBy on doc_id; the corpus never self-joins. No broadcast hint is
+    FORCED: a pathological benchmark bigger than the broadcast threshold
+    degrades to a sort-merge join instead of OOMing the driver — semantics
+    unchanged either way.
     """
     doc_grams = docs.select(
         id_col, F.explode_outer(_word_ngrams(text_col, n)).alias("gram")
@@ -113,7 +115,7 @@ def contamination_scores(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    joined = doc_grams.join(bench_grams, "gram", "left")
     # count() of a nullable column counts non-nulls: explode_outer emits one
     # null-gram row for sub-n-word docs (n_grams 0), and "hit" is non-null
     # only on benchmark matches — so both counts need no conditional sum
@@ -235,14 +237,17 @@ def stratified_sample(
     same rows). Changing ``salt`` redraws independently. No shuffle: a
     narrow projection + filter, the correct shape for sampling 100 TB.
 
-    Output: sampled rows ``(doc_id, stratum, u)`` with u rounded to 9dp.
+    Output: sampled rows ``(doc_id, stratum, u)``. The keep decision
+    compares the UNROUNDED variate (the same rule ``curation_report`` applies
+    via ``sample_columns``, so the two call sites can never disagree on a
+    boundary value); only the DISPLAYED ``u`` column is rounded to 9dp.
     """
     u, rate = sample_columns(rates, default_rate, strat_col, id_col, salt)
     return (
-        docs.select(id_col, F.col(strat_col).alias("stratum"), F.round(u, 9).alias("u"),
+        docs.select(id_col, F.col(strat_col).alias("stratum"), u.alias("u_raw"),
                     rate.alias("rate"))
-        .where(F.col("u") < F.col("rate"))
-        .select(id_col, "stratum", "u")
+        .where(F.col("u_raw") < F.col("rate"))
+        .select(id_col, "stratum", F.round("u_raw", 9).alias("u"))
     )
 
 

@@ -380,22 +380,53 @@ def simhash_signatures(
     60 bits = 15 hex chars of md5, so the signature is always positive in a
     signed 64-bit long and the DuckDB oracle can rebuild it exactly with
     ``('0x' || substr(md5(tok), 1, 15))::BIGINT``.
+
+    Scale shape: ZERO shuffle. The whole signature is a per-row fold —
+    token-hash array (one md5 per distinct token), then per-bit majority
+    counts via nested higher-order functions, then the bit-sum — all inside
+    one whole-stage-codegen Project, so throughput is the parquet scan. The
+    previous formulation exploded (doc, bit, contrib) to 60 rows PER TOKEN
+    and ran two corpus-wide groupBys — a 60× shuffle amplification on the
+    signature build that this fold removes with bit-identical output
+    (pinned by the driver oracle and the blocked≡brute-force test; the
+    per-doc fold and the old per-bit integer sums are order-independent, so
+    no float/ordering drift is possible). Docs with no tokens emit no row,
+    exactly like the explode formulation.
     """
-    toks = _tokens(docs, id_col, text_col, [])
-    hv = F.conv(F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
-    bits = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        hv.alias("hv"),
-    ).select(
-        id_col, "bit",
-        (F.expr("shiftright(hv, bit) & 1") * 2 - 1).alias("contrib"),
+    toks_arr = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
-    sig = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s")).select(
-        id_col, "bit", (F.col("s") > 0).cast("long").alias("b")
+    hvs = F.transform(
+        toks_arr,
+        lambda t: F.conv(F.substring(F.md5(t), 1, SIMHASH_BITS // 4), 16, 10).cast("long"),
     )
-    return sig.groupBy(id_col).agg(
-        F.sum(F.expr("shiftleft(b, bit)")).alias("simhash")
+    # counts[b] = sum over tokens of (bit b of hv ? +1 : -1)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda b: F.aggregate(
+            F.col("_hvs"),
+            F.lit(0).cast("long"),
+            lambda acc, hv: acc
+            + (F.call_function("shiftright", hv, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        ),
+    )
+    sig_bits = F.zip_with(
+        F.col("_counts"),
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda c, b: F.call_function("shiftleft", (c > F.lit(0)).cast("long"), b),
+    )
+    return (
+        # the emptiness filter tests the cheap token array (no md5) so the
+        # hash transform is evaluated once per surviving row, not twice
+        docs.where(F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")) > 0)
+        .select(id_col, hvs.alias("_hvs"))
+        .select(id_col, counts.alias("_counts"))
+        .select(
+            id_col,
+            F.aggregate(sig_bits, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "simhash"
+            ),
+        )
     )
 
 
@@ -549,12 +580,27 @@ def canonical_docs(
     argmax is one window over cluster_id, bounded by cluster size (which the
     upstream pair operators already bound via their bucket/df caps).
 
+    Contracts (fail loudly, never shift the pick silently): ``pairs`` MUST
+    carry ``doc_a``/``doc_b`` columns (every near-dup operator in this module
+    emits exactly those names; anything else raises here instead of failing
+    deep inside the CC loop), and every clustered doc MUST have a quality row
+    — the join is LEFT + a distributed ``assert_true`` guard, so a missing
+    member aborts the job with the offending doc_id rather than quietly
+    changing which copy a cluster keeps (an inner join would drop it).
+
     Output: one row per CLUSTERED doc (singletons are implicitly kept):
     (doc_id, cluster_id, canonical_doc, keep).
     """
     from .cluster import connected_components
     from .text import quality_scores
 
+    missing = {"doc_a", "doc_b"} - set(pairs.columns)
+    if missing:
+        raise ValueError(
+            f"canonical_docs: pairs is missing column(s) {sorted(missing)}; "
+            "near-dup pair frames must use doc_a/doc_b "
+            f"(got columns {pairs.columns})"
+        )
     cc = connected_components(pairs.select("doc_a", "doc_b"))
     labels = cc.select(F.col("conv_id").alias(id_col), "cluster_id")
     if quality is None:
@@ -563,7 +609,18 @@ def canonical_docs(
         )
     from pyspark.sql.window import Window
 
-    scored = labels.join(quality, id_col)
+    # coalesce evaluates lazily: the assert only fires on a row whose quality
+    # is NULL after the left join, aborting with the offending doc_id
+    guard = F.assert_true(
+        F.col("quality").isNotNull(),
+        F.concat(
+            F.lit("canonical_docs: clustered doc has no quality row: "),
+            F.col(id_col).cast("string"),
+        ),
+    ).cast("double")
+    scored = labels.join(quality, id_col, "left").withColumn(
+        "quality", F.coalesce(F.col("quality"), guard)
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col(id_col).asc()
     )

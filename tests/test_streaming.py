@@ -365,3 +365,82 @@ class TestIncrementalScoringIsBatchSized:
         assert "Window" not in plan  # corpus-wide count window skipped
         row = scored.collect()[0]
         assert "POTENTIAL_DUPLICATE_SHORT_NAME" in {d["type"] for d in row["discrepancies"]}
+
+
+class TestStreamingDedupValueGate:
+    def test_verdicts_match_scalar_simulation(self, spark):
+        """Value-level contract for the one rows-only driver query
+        (streaming_dedup): replay the driver query's EXACT two-batch arrival
+        order (sf0.001 documents, even ids then odd ids, one second of event
+        time per id) through a scalar Python simulation of the full stateful
+        operator — same simhash60_py signatures, same 4x15-bit band routing,
+        same (ts, doc_id) within-bucket order, same TTL eviction / best-match
+        (min (hamming, doc_id)) / state-cap retention rules, same
+        OR-across-bands + min-struct combine — and assert verdict-for-verdict
+        equality. The online greedy retention is order-dependent, so no pure
+        SQL oracle exists (CORRECTNESS_r* records rows-only); this pins the
+        VALUES instead."""
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as entrymod
+        from entity_matching_spark.operators.dedup import (
+            SIMHASH_BANDS, _BAND_BITS, _BAND_MASK, simhash60_py,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        max_hamming, state_cap = 3, 10_000
+        ttl_ms = 120 * 3600 * 1000  # q_streaming_dedup's "120 hours"
+
+        tbl = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "text"])
+        docs = [
+            (str(i), t, int(i) * 1000)  # ts is relative; only ordering + ttl matter
+            for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        ]
+        batches = [
+            sorted((d for d in docs if int(d[0]) % 2 == p), key=lambda d: d[2])
+            for p in range(2)
+        ]
+
+        state: dict = {}
+        expected: dict = {}
+        for batch in batches:
+            per_bucket: dict = {}
+            for doc_id, text, ts_ms in batch:
+                sig = simhash60_py(text)
+                for band in range(SIMHASH_BANDS):
+                    bkey = (sig >> (_BAND_BITS * band)) & _BAND_MASK
+                    per_bucket.setdefault((band, bkey), []).append((doc_id, sig, ts_ms))
+            band_verdicts: dict = {}
+            for key, rows in per_bucket.items():
+                ids, sigs, seen = state.get(key, ([], [], []))
+                rows.sort(key=lambda r: (r[2], r[0]))
+                for doc_id, sig, t_ms in rows:
+                    while seen and seen[0] < t_ms - ttl_ms:
+                        ids.pop(0), sigs.pop(0), seen.pop(0)
+                    best = None
+                    for sid, ssig in zip(ids, sigs):
+                        h = bin(sig ^ ssig).count("1")
+                        if h <= max_hamming and (best is None or (h, sid) < best):
+                            best = (h, sid)
+                    band_verdicts.setdefault(doc_id, []).append(best)
+                    if best is None:
+                        ids.append(doc_id), sigs.append(sig), seen.append(t_ms)
+                        if len(ids) > state_cap:
+                            ids.pop(0), sigs.pop(0), seen.pop(0)
+                state[key] = (ids, sigs, seen)
+            for doc_id, verdicts in band_verdicts.items():
+                hits = [v for v in verdicts if v is not None]
+                expected[doc_id] = (
+                    (True, min(hits)[1], min(hits)[0]) if hits else (False, None, None)
+                )
+
+        got = {
+            r["doc_id"]: (r["is_dup"], r["matched_doc"], r["hamming"])
+            for r in entrymod.q_streaming_dedup(spark, sf_dir).collect()
+        }
+        assert set(got) == set(expected)
+        mismatches = {d: (got[d], expected[d]) for d in got if got[d] != expected[d]}
+        assert not mismatches, f"{len(mismatches)} verdict mismatches: " + str(
+            dict(list(mismatches.items())[:5])
+        )
+        assert any(v[0] for v in expected.values())  # the gate exercises real dups
