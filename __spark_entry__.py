@@ -1379,24 +1379,79 @@ def _sql_ann_ivf_recall(sf: str) -> str:
 
 
 # k-means training setup: k=8 coarse centroids, 3 Lloyd's iterations,
-# deterministic init (k smallest vec_ids), per-iteration 6-dp rounding
+# deterministic init (k smallest vec_ids, or k-means‖-style "kpp"),
+# per-iteration 6-dp rounding
 _KM_K = 8
 _KM_ITER = 3
+_KPP_ROUNDS = 2            # kmeans_parallel_init sampling rounds
+_KPP_ELL = 2 * _KM_K       # oversampling factor l
+_KPP_SEED_QD = 1 << 21     # seed's sentinel qd (above any real 1e6-quantized d)
 
 
-def _sql_kmeans_ctes() -> str:
+def _sql_kpp_init_ctes() -> str:
+    """Deterministic k-means‖-style seeding (operators/ann.
+    kmeans_parallel_init) as a DuckDB CTE chain ending in ``u0``. Every
+    engine-divergence risk is quantized away: distances round to 1e-6
+    integers, Φ is an exact integer sum, and the Bernoulli comparison
+    u*Φ < l*qd*2^32 runs in HUGEINT — bit-identical to Spark's DECIMAL
+    arithmetic."""
+    parts = [f"""
+    s0 AS MATERIALIZED (SELECT vec_id, emb FROM v
+           ORDER BY md5('kpp|0|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+    c0 AS MATERIALIZED (SELECT 0 AS sel_round, CAST({_KPP_SEED_QD} AS BIGINT) AS qd, vec_id, emb
+           FROM s0)"""]
+    for t in range(1, _KPP_ROUNDS + 1):
+        p = f"c{t - 1}"
+        parts.append(f"""
+    b{t} AS MATERIALIZED (SELECT n.vec_id, n.emb,
+                    max(list_cosine_similarity(n.emb, c.emb)) AS best_cos
+             FROM v n, {p} c
+             WHERE n.vec_id NOT IN (SELECT vec_id FROM {p})
+             GROUP BY n.vec_id, n.emb),
+    d{t} AS MATERIALIZED (SELECT vec_id, emb,
+                    CAST(round(greatest(0, 1 - best_cos) * 1000000) AS BIGINT) AS qd
+             FROM b{t}),
+    p{t} AS MATERIALIZED (SELECT SUM(qd) AS phi FROM d{t}),
+    k{t} AS MATERIALIZED (SELECT {t} AS sel_round, qd, vec_id, emb
+             FROM d{t}, p{t}
+             WHERE CAST(('0x' || substr(md5('kpp|{t}|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                        AS HUGEINT) * phi
+                   < CAST({_KPP_ELL} AS HUGEINT) * qd * 4294967296),
+    c{t} AS MATERIALIZED (SELECT * FROM {p} UNION ALL SELECT * FROM k{t})""")
+    parts.append(f"""
+    kpads AS MATERIALIZED (SELECT {_KPP_ROUNDS + 1} AS sel_round,
+                     - CAST(('0x' || substr(md5('kpp|pad|' || CAST(vec_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) AS qd,
+                     vec_id, emb
+              FROM v WHERE vec_id NOT IN (SELECT vec_id FROM c{_KPP_ROUNDS})),
+    kpool AS MATERIALIZED (SELECT * FROM c{_KPP_ROUNDS} UNION ALL SELECT * FROM kpads),
+    ksel AS MATERIALIZED (SELECT emb, ROW_NUMBER() OVER (ORDER BY sel_round, qd DESC, vec_id) - 1
+                    AS centroid_id
+             FROM kpool),
+    u0 AS MATERIALIZED (SELECT centroid_id, idx.i - 1 AS pos, emb[idx.i] AS val
+           FROM ksel, idx
+           WHERE centroid_id < {_KM_K} AND idx.i <= len(emb))""")
+    return ",".join(parts)
+
+
+def _sql_kmeans_ctes(init: str = "first") -> str:
     """Unrolled Lloyd's iterations as a DuckDB CTE chain u0..u{n}, each in
     (centroid_id, pos, val) pair form. Mirrors operators/ann.kmeans_centroids
     exactly: cosine argmax assignment (dot/|c| ordering — |v| is constant per
     vector and cannot change the argmax), per-dimension mean rounded to 6dp,
-    empty cells keeping their previous centroid."""
-    parts = [f"""
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    dims AS (SELECT max(len(emb)) AS m FROM v),
-    idx AS (SELECT unnest(generate_series(1, (SELECT m FROM dims))) AS i),
-    vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS n
-           FROM (SELECT vec_id, unnest(emb) AS x FROM v) GROUP BY vec_id),
-    u0 AS (
+    empty cells keeping their previous centroid. ``init`` selects the u0
+    chain: first-k-by-id or the k-means‖-style deterministic seeding."""
+    common = """
+    v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dims AS MATERIALIZED (SELECT max(len(emb)) AS m FROM v),
+    idx AS MATERIALIZED (SELECT unnest(generate_series(1, (SELECT m FROM dims))) AS i),
+    vn AS MATERIALIZED (SELECT vec_id, sqrt(SUM(x * x)) AS n
+           FROM (SELECT vec_id, unnest(emb) AS x FROM v) GROUP BY vec_id)"""
+    if init == "kpp":
+        parts = [common + "," + _sql_kpp_init_ctes()]
+    else:
+        parts = [common + f""",
+    u0 AS MATERIALIZED (
       SELECT c.centroid_id, idx.i - 1 AS pos, c.emb[idx.i] AS val
       FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id, emb
             FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_KM_K})) c, idx
@@ -1405,8 +1460,8 @@ def _sql_kmeans_ctes() -> str:
     for t in range(1, _KM_ITER + 1):
         p = f"u{t - 1}"
         parts.append(f"""
-    cn{t} AS (SELECT centroid_id, sqrt(SUM(val * val)) AS n FROM {p} GROUP BY centroid_id),
-    a{t} AS (
+    cn{t} AS MATERIALIZED (SELECT centroid_id, sqrt(SUM(val * val)) AS n FROM {p} GROUP BY centroid_id),
+    a{t} AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM (
         SELECT d.vec_id, d.centroid_id,
                ROW_NUMBER() OVER (PARTITION BY d.vec_id
@@ -1416,13 +1471,13 @@ def _sql_kmeans_ctes() -> str:
         JOIN vn USING (vec_id) JOIN cn{t} USING (centroid_id)
       ) WHERE r = 1
     ),
-    m{t} AS (
+    m{t} AS MATERIALIZED (
       SELECT a.centroid_id, idx.i - 1 AS pos, round(avg(v.emb[idx.i]), 6) AS val
       FROM a{t} a JOIN v USING (vec_id), idx
       WHERE idx.i <= len(v.emb)
       GROUP BY 1, 2
     ),
-    u{t} AS (
+    u{t} AS MATERIALIZED (
       SELECT * FROM m{t}
       UNION ALL
       SELECT * FROM {p}
@@ -1456,24 +1511,59 @@ def _sql_ann_kmeans_train(sf: str) -> str:
     """
 
 
+def q_ann_kmeans_pp_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means training with the deterministic k-means‖-style init
+    (operators/ann.kmeans_parallel_init): distance-weighted md5-Bernoulli
+    oversampling rounds + rank-and-pad reduction, then the same Lloyd's
+    iterations. Both the seeding decisions (exact integer u*Φ < l*qd*2^32
+    comparisons) and the trained centroids (6-dp rounding) are engine-
+    reproducible, so the oracle unrolls the full init + training chain."""
+    from entity_matching_spark.operators.ann import kmeans_centroids
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=_KM_K, n_iter=_KM_ITER, init="kpp")
+    return cents.select(
+        "centroid_id", F.posexplode("cemb").alias("pos", "val")
+    ).orderBy("centroid_id", "pos")
+
+
+def _sql_ann_kmeans_pp_train(sf: str) -> str:
+    return f"""
+    WITH {_sql_kmeans_ctes(init="kpp")}
+    SELECT CAST(centroid_id AS INT) AS centroid_id, CAST(pos AS INT) AS pos, val
+    FROM u{_KM_ITER} ORDER BY centroid_id, pos
+    """
+
+
 def q_ann_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the IVF search run over TRAINED centroids (kmeans_centroids
     -> ivf_topk -> ivf_recall) — the end-to-end self-contained ANN story:
     raw embeddings in, quality-measured approximate search out."""
+    return _ivf_recall_trained(spark, sf_dir, init="first")
+
+
+def q_ann_ivf_recall_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of IVF search over centroids trained from the k-means‖-style
+    init — reported alongside ann_ivf_recall_trained so the init-quality
+    delta is a measured artifact, not a claim."""
+    return _ivf_recall_trained(spark, sf_dir, init="kpp")
+
+
+def _ivf_recall_trained(spark: SparkSession, sf_dir: str, init: str) -> DataFrame:
     from entity_matching_spark.operators.ann import (
         brute_force_topk, ivf_recall, ivf_topk, kmeans_centroids,
     )
 
     e, _, probes = _ann_parts(spark, sf_dir)
-    cents = kmeans_centroids(e, k=_KM_K, n_iter=_KM_ITER)
+    cents = kmeans_centroids(e, k=_KM_K, n_iter=_KM_ITER, init=init)
     exact = brute_force_topk(e, probes, _ANN_K)
     ivf = ivf_topk(e, cents, probes, _ANN_K, _ANN_NPROBE)
     return ivf_recall(ivf, exact, _ANN_K).orderBy("probe_id")
 
 
-def _sql_ann_ivf_recall_trained(sf: str) -> str:
+def _sql_ann_ivf_recall_trained(sf: str, init: str = "first") -> str:
     return f"""
-    WITH {_sql_kmeans_ctes()},
+    WITH {_sql_kmeans_ctes(init=init)},
     cents AS (
       SELECT centroid_id, list(val ORDER BY pos) AS cemb
       FROM u{_KM_ITER} GROUP BY centroid_id
@@ -2452,7 +2542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_search": q_ann_ivf_search,
         "ann_kmeans_train": q_ann_kmeans_train,
+        "ann_kmeans_pp_train": q_ann_kmeans_pp_train,
         "ann_ivf_recall_trained": q_ann_ivf_recall_trained,
+        "ann_ivf_recall_pp": q_ann_ivf_recall_pp,
         "ann_ivf_recall": q_ann_ivf_recall,
         "text_token_stats": q_token_stats,
         "text_quality_score": q_quality_score,
@@ -2507,7 +2599,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_search": _sql_ann_ivf_search(sf),
         "ann_ivf_recall": _sql_ann_ivf_recall(sf),
         "ann_kmeans_train": _sql_ann_kmeans_train(sf),
+        "ann_kmeans_pp_train": _sql_ann_kmeans_pp_train(sf),
         "ann_ivf_recall_trained": _sql_ann_ivf_recall_trained(sf),
+        "ann_ivf_recall_pp": _sql_ann_ivf_recall_trained(sf, init="kpp"),
         "text_token_stats": _sql_token_stats(sf),
         "text_quality_score": _sql_quality_score(sf),
         "text_lang_id": _sql_lang_id(sf),

@@ -120,6 +120,129 @@ def ivf_topk(
     )
 
 
+def _u32(salt: str, tag, id_expr) -> F.Column:
+    """Deterministic 32-bit uniform variate from md5(salt|tag|id) — the same
+    engine-portable construction curate.sample_columns uses, so DuckDB can
+    reproduce every sampling decision bit-for-bit."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|{tag}|"), id_expr.cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+
+
+# sentinel qd for the round-0 seed: above the largest real quantized cosine
+# distance (d <= 2 -> qd <= 2_000_000), so the seed always ranks first
+_KPP_SEED_QD = 1 << 21
+
+
+def kmeans_parallel_init(
+    vectors: DataFrame,
+    k: int,
+    rounds: int = 2,
+    oversample: int | None = None,
+    salt: str = "kpp",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means‖-style seeding: (centroid_id, cemb).
+
+    The production-quality alternative to first-k-by-id init (which is
+    replayable but degenerates under adversarially ordered ids — all seeds
+    from one corner of the space). Classic k-means‖ (Bahmani et al., VLDB
+    2012) oversamples ~l points per round with probability proportional to
+    each point's distance to the current seed set; this implementation keeps
+    that structure while replacing every random draw with an md5-derived
+    variate so the training run is replayable AND cross-engine oracle-
+    checkable:
+
+    - round 0 seed: the vector with the smallest md5(salt|0|id) — a
+      hash-uniform pick, immune to id ordering;
+    - rounds 1..``rounds``: each non-candidate x is kept iff
+      ``u_t(x) * Φ < l * qd(x) * 2^32`` where qd(x) = round(1e6 * cosine
+      distance to the nearest current candidate), Φ = Σ qd (an exact integer
+      sum), u_t(x) the 32-bit md5 variate, and l = ``oversample`` (default
+      2k) — i.e. P[keep] ≈ min(1, l·d/Φ), the k-means‖ schedule. The
+      comparison runs in DECIMAL (Spark) / HUGEINT (DuckDB): exact integer
+      arithmetic, so both engines make identical keep decisions;
+    - final reduction: rank candidates by (selection round ASC, qd DESC,
+      id ASC) and take k — earlier, farther picks first (the deterministic
+      stand-in for the weighted k-means++ reduction); if fewer than k
+      candidates were drawn (tiny or degenerate corpora), pad with the
+      hash-smallest remaining vectors.
+
+    Scale shape: per round, one |V| x |C| broadcast scan (C = candidates,
+    O(l·rounds) — a model-sized table) + a map-side-combinable max + one
+    scalar aggregate crossed back in; candidates localCheckpoint per round
+    (k-scale). The final rank is a window over O(l·rounds) rows and the pad
+    is a TakeOrdered of k rows — both k-scale, never data-sized.
+    """
+    ell = int(oversample or 2 * k)
+    v = vectors.select(F.col(id_col).alias("vec_id"), _emb(emb_col).alias("emb"))
+    seed_ord = F.md5(F.concat(F.lit(f"{salt}|0|"), F.col("vec_id").cast("string")))
+    cand = (
+        v.orderBy(seed_ord, "vec_id").limit(1)  # TakeOrdered, no global sort
+        .select(
+            F.lit(0).alias("sel_round"),
+            F.lit(_KPP_SEED_QD).cast("long").alias("qd"),
+            "vec_id", "emb",
+        )
+        .localCheckpoint()
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — exact int compare
+
+    def _anti(df, ids):
+        # localCheckpoint keeps lineage attribute ids, so joining cand back
+        # against v needs the candidate id under a fresh name
+        cid = ids.select(F.col("vec_id").alias("_cid"))
+        return df.join(cid, df["vec_id"] == cid["_cid"], "left_anti")
+
+    for t in range(1, rounds + 1):
+        c = cand.select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        nc = _anti(v, cand)
+        best = (
+            nc.crossJoin(F.broadcast(c))
+            .select("vec_id", "emb", cosine(F.col("emb"), F.col("cemb")).alias("cos"))
+            .groupBy("vec_id", "emb")  # emb is functionally dependent on vec_id
+            .agg(F.max("cos").alias("best_cos"))
+        )
+        scored = best.select(
+            "vec_id", "emb",
+            F.round(F.greatest(F.lit(0.0), 1 - F.col("best_cos")) * 1e6)
+            .cast("long").alias("qd"),
+        )
+        phi = scored.agg(F.sum("qd").alias("phi"))
+        kept = (
+            scored.crossJoin(F.broadcast(phi))
+            .where(
+                dec(_u32(salt, t, F.col("vec_id"))) * dec(F.col("phi"))
+                < dec(F.lit(ell) * F.col("qd")) * dec(F.lit(4294967296))
+            )
+            .select(F.lit(t).alias("sel_round"), "qd", "vec_id", "emb")
+        )
+        cand = cand.unionByName(kept).localCheckpoint()
+    # pads rank by the SAME key as the pool window: qd = -u orders them by
+    # hash ascending after every real candidate (sel_round rounds+1)
+    pad_u = _u32(salt, "pad", F.col("vec_id"))
+    pads = (
+        _anti(v, cand)
+        .orderBy(pad_u, "vec_id").limit(k)  # TakeOrdered; at most k pads win
+        .select(
+            F.lit(rounds + 1).alias("sel_round"),
+            (-pad_u).alias("qd"),
+            "vec_id", "emb",
+        )
+    )
+    pool = cand.unionByName(pads)
+    w = Window.orderBy("sel_round", F.desc("qd"), "vec_id")  # k-scale rows
+    return (
+        pool.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select((F.col("rn") - 1).alias("centroid_id"), F.col("emb").alias("cemb"))
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 16,
@@ -127,6 +250,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_dp: int = 6,
+    init: str = "first",
 ) -> DataFrame:
     """Train IVF coarse centroids with deterministic distributed Lloyd's
     iterations: (centroid_id, cemb).
@@ -141,27 +265,37 @@ def kmeans_centroids(
       |V| x dims skinny rows per iteration; empty cells keep their previous
       centroid.
 
-    Determinism pin: init is the ``k`` vectors with the SMALLEST ids (no
-    RNG), and every updated centroid coordinate is rounded to ``round_dp``
-    decimals — float summation order differs across partitions and engines,
-    and the rounding quantizes that noise away, making the trained centroids
-    exactly reproducible (fixed input -> bit-identical output, DuckDB
-    oracle-checkable). k-means|| seeding would be the production choice for
-    quality; first-k-by-id keeps the training run replayable and testable,
-    which the 100 TB pipeline needs more (the IVF recall metric measures the
-    quality impact either way).
+    Determinism pin: BOTH inits are RNG-free and every updated centroid
+    coordinate is rounded to ``round_dp`` decimals — float summation order
+    differs across partitions and engines, and the rounding quantizes that
+    noise away, making the trained centroids exactly reproducible (fixed
+    input -> bit-identical output, DuckDB oracle-checkable).
+
+    ``init``:
+    - ``"first"`` (default): the ``k`` vectors with the smallest ids — the
+      simplest replayable init, but adversarially ordered ids can seed all
+      centroids from one corner of the space;
+    - ``"kpp"``: deterministic k-means‖-style distance-weighted seeding
+      (``kmeans_parallel_init``) — the production-quality choice, still
+      replayable and oracle-checkable because every draw is an md5 variate.
+      The IVF recall metric measures the quality delta either way.
 
     Lineage is truncated per iteration (localCheckpoint on the k x 1 table)
     so the plan does not deepen with ``n_iter`` — same discipline as the
     connected-components loop (operators/cluster.py).
     """
-    cents = (
-        vectors.orderBy(id_col).limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
-            _emb(emb_col).alias("cemb"),
+    if init == "kpp":
+        cents = kmeans_parallel_init(vectors, k, id_col=id_col, emb_col=emb_col)
+    elif init == "first":
+        cents = (
+            vectors.orderBy(id_col).limit(k)
+            .select(
+                (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
+                _emb(emb_col).alias("cemb"),
+            )
         )
-    )
+    else:
+        raise ValueError(f"kmeans_centroids: unknown init {init!r} (first|kpp)")
     for _ in range(n_iter):
         assign = assign_cells(
             vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")),

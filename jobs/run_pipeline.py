@@ -38,6 +38,13 @@ def main(argv=None) -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--fresh", action="store_true", help="ignore+overwrite existing checkpoints")
+    ap.add_argument("--profile", action="store_true",
+                    help="also run the corpus-profiling stages (top-k vocabulary "
+                         "+ curation keep/drop funnel) into <out>/profile")
+    ap.add_argument("--benchmark", default=None,
+                    help="optional benchmark documents parquet (doc_id, text) for "
+                         "the contamination screen; no benchmark -> contamination 0")
+    ap.add_argument("--vocab-k", type=int, default=100)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -84,6 +91,31 @@ def main(argv=None) -> int:
             {k: m[k] for k in ("stage", "output_rows", "wall_ms")} for m in result.metrics
         ],
     }
+
+    if args.profile:
+        from entity_matching_spark.plans.pipeline import run_profile
+
+        import pyspark.sql.functions as F
+
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        prof = run_profile(
+            spark, transcripts, os.path.join(args.out, "profile"),
+            benchmark=bench, vocab_k=args.vocab_k,
+            resume=not (args.no_resume or args.fresh),
+        )
+        kept = prof["curation"].agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("kept").cast("int")).alias("kept"),
+        ).collect()[0]
+        summary["profile"] = {
+            "documents": kept["docs"],
+            "kept": kept["kept"],
+            "vocab_rows": prof["vocab"].count(),
+            "stages": [
+                {k: m[k] for k in ("stage", "output_rows", "wall_ms")}
+                for m in prof["metrics"]
+            ],
+        }
     print(json.dumps(summary))
     with open(os.path.join(args.out, "run_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

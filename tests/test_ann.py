@@ -123,3 +123,63 @@ class TestEmbeddingNearDup:
         assert all(v >= 0.9 for v in got.values())
         # non-adjacent same-cell pair is below threshold
         assert (0, 2) not in got
+
+
+class TestKMeansParallelInit:
+    def test_k_centroids_deterministic_and_spread(self, spark):
+        """kpp init returns exactly k distinct-id centroids, identical across
+        runs, and (on a two-cluster corpus with adversarially ordered ids)
+        seeds BOTH clusters — the failure mode first-k-by-id exhibits."""
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.operators.ann import kmeans_parallel_init
+
+        # ids 0..19 all in cluster A (around +x), ids 20..23 in cluster B
+        # (around -x): first-k-by-id with k=4 would seed ONLY cluster A
+        rows = [(i, [1.0, 0.001 * i]) for i in range(20)]
+        rows += [(i, [-1.0, 0.001 * i]) for i in range(20, 24)]
+        v = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        a = kmeans_parallel_init(v, k=4).collect()
+        b = kmeans_parallel_init(v, k=4).collect()
+        key = lambda r: (r["centroid_id"], tuple(r["cemb"]))  # noqa: E731
+        assert sorted(map(key, a)) == sorted(map(key, b))
+        assert len(a) == 4
+        assert len({r["centroid_id"] for r in a}) == 4
+        signs = {1 if r["cemb"][0] > 0 else -1 for r in a}
+        assert signs == {1, -1}, f"kpp failed to seed both clusters: {a}"
+
+    def test_pad_path_on_degenerate_corpus(self, spark):
+        """All-identical vectors: after the seed every distance quantizes to
+        0, no Bernoulli round keeps anything, and the hash-ordered pads must
+        fill the remaining k-1 slots."""
+        from entity_matching_spark.operators.ann import kmeans_parallel_init
+
+        v = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0]) for i in range(10)],
+            "vec_id int, embedding array<double>",
+        )
+        got = kmeans_parallel_init(v, k=5).collect()
+        assert len(got) == 5
+        assert sorted(r["centroid_id"] for r in got) == [0, 1, 2, 3, 4]
+
+    def test_kmeans_centroids_kpp_trains(self, spark):
+        from entity_matching_spark.operators.ann import kmeans_centroids
+
+        rows = [(i, [1.0 + 0.01 * (i % 3), 0.0]) for i in range(12)]
+        rows += [(i, [0.0, 1.0 + 0.01 * (i % 3)]) for i in range(12, 24)]
+        v = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        c = kmeans_centroids(v, k=2, n_iter=2, init="kpp").collect()
+        assert len(c) == 2
+        # trained centroids land one per true cluster
+        dims = sorted((round(r["cemb"][0], 2), round(r["cemb"][1], 2)) for r in c)
+        assert dims[0][0] < 0.1 and dims[0][1] > 0.9
+        assert dims[1][0] > 0.9 and dims[1][1] < 0.1
+
+    def test_unknown_init_raises(self, spark):
+        import pytest as _pytest
+
+        from entity_matching_spark.operators.ann import kmeans_centroids
+
+        v = spark.createDataFrame([(0, [1.0])], "vec_id int, embedding array<double>")
+        with _pytest.raises(ValueError, match="unknown init"):
+            kmeans_centroids(v, k=1, init="nope")

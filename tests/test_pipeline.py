@@ -178,3 +178,70 @@ class TestPipelineRound2:
         r_on = run_pipeline(spark, t, str(tmp_path / "dup_on"), cfg_on)
         c_on = {r["conv_id"]: r["cluster_id"] for r in r_on.clusters.collect()}
         assert c_on["convA"] == c_on["convB"]
+
+
+class TestProfileStages:
+    def test_profile_manifests_and_resume(self, spark, small_transcripts, tmp_path):
+        """run_profile writes lineage manifests for the three profiling
+        stages, produces the vocabulary + curation funnel over the assembled
+        conversation documents, and resumes from checkpoint like the ER
+        stages do."""
+        import json
+        import os
+
+        from entity_matching_spark.plans.pipeline import run_profile
+
+        wd = str(tmp_path / "profile")
+        prof = run_profile(spark, small_transcripts, wd, vocab_k=25)
+        stages = {m["stage"]: m for m in prof["metrics"]}
+        assert set(stages) == {"p1_documents", "p2_vocab", "p3_curation"}
+        assert all(m["status"] == "complete" for m in stages.values())
+        n_docs = prof["documents"].count()
+        assert n_docs == small_transcripts.select("conv_id").distinct().count()
+        assert prof["vocab"].count() == 25
+        cur = prof["curation"]
+        assert cur.count() == n_docs
+        cols = set(cur.columns)
+        assert {"doc_id", "quality", "top_ngram_frac", "contamination",
+                "near_dup", "sampled", "drop_reasons", "kept"} <= cols
+        # no benchmark given -> the contamination screen never fires
+        assert cur.where("contamination > 0").count() == 0
+        # default_rate=1.0 -> sampling keeps everything
+        assert cur.where("NOT sampled").count() == 0
+
+        # resume: manifests unchanged (same mtimes => stages not rebuilt)
+        mtimes = {
+            f: os.path.getmtime(os.path.join(wd, f))
+            for f in os.listdir(wd) if f.endswith("_manifest.json")
+        }
+        prof2 = run_profile(spark, small_transcripts, wd, vocab_k=25)
+        mtimes2 = {
+            f: os.path.getmtime(os.path.join(wd, f))
+            for f in os.listdir(wd) if f.endswith("_manifest.json")
+        }
+        assert mtimes == mtimes2
+        assert prof2["curation"].count() == n_docs
+
+    def test_profile_cli_flag(self, spark, tmp_path):
+        """jobs/run_pipeline.py --profile emits the profile summary block and
+        the stage manifests under <out>/profile."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import jobs.run_pipeline as cli
+
+        out = str(tmp_path / "cliout")
+        rc = cli.main([
+            "--out", out, "--families", "12", "--profile", "--vocab-k", "10",
+        ])
+        assert rc == 0
+        with open(os.path.join(out, "run_summary.json")) as f:
+            summary = json.load(f)
+        assert "profile" in summary
+        assert summary["profile"]["vocab_rows"] == 10
+        assert {s["stage"] for s in summary["profile"]["stages"]} == {
+            "p1_documents", "p2_vocab", "p3_curation"
+        }
+        assert os.path.exists(os.path.join(out, "profile", "p3_curation_manifest.json"))

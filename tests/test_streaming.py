@@ -444,3 +444,113 @@ class TestStreamingDedupValueGate:
             dict(list(mismatches.items())[:5])
         )
         assert any(v[0] for v in expected.values())  # the gate exercises real dups
+
+
+class TestCorpusCompaction:
+    def test_compacted_corpus_matches_and_prunes(self, spark, tmp_path):
+        """compact_corpus folds the batch_id=* corpus partitions into
+        hash-bucketed tables; post-compaction reads (a) return the same
+        corpus, (b) PRUNE to only the probed buckets' files, and (c) feed
+        incremental_match identically — a conversation arriving after
+        compaction still matches the whole compacted corpus, including the
+        accumulated I13 key counts."""
+        import datetime as dt
+        import glob as globmod
+        import re
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        from entity_matching_spark.streaming.ingest import (
+            _compaction_manifest, _read_corpus_table, compact_corpus,
+            incremental_match,
+        )
+
+        ddl = ("conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp")
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+        in_dir = tmp_path / "cin"
+        in_dir.mkdir()
+
+        def write_file(rows, name):
+            stage = str(tmp_path / "cstage")
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.copy(globmod.glob(stage + "/part-*.parquet")[0], str(in_dir / name))
+
+        blurb = "Legal Name: Quiet Timber Works LLC\nMEI: US00000011"
+        write_file([("convA1", 0, "user", blurb, None, t0),
+                    ("convA2", 0, "user", blurb, None, t0)], "b1.parquet")
+        write_file([("convB", 0, "user", blurb, None,
+                     t0 + dt.timedelta(minutes=1))], "b2.parquet")
+
+        wd = str(tmp_path / "cwork")
+        q = incremental_match(spark, str(in_dir), wd, max_files_per_trigger=1)
+        q.awaitTermination(240)
+        n_keys_before = spark.read.parquet(wd + "/keys").count()
+        n_matches_before = spark.read.parquet(wd + "/matches").count()
+
+        stats = compact_corpus(spark, wd, n_buckets=8, prune_raw=True)
+        assert stats["keys"]["h"] == 1 and stats["records"]["h"] == 1
+        # raw batch partitions absorbed and pruned
+        assert not globmod.glob(wd + "/keys/batch_id=*")
+        assert not globmod.glob(wd + "/records/batch_id=*")
+        # (a) full read returns the identical corpus
+        keys_full = _read_corpus_table(spark, wd, "keys", exclude_batch=-1)
+        assert keys_full.count() == n_keys_before
+        counts = _read_corpus_table(spark, wd, "key_counts", exclude_batch=-1)
+        assert {r["clean_name_key"]: r["n"] for r in counts.collect()} == {
+            "quiettimberworksllc": 3
+        }
+
+        # (b) bucket pruning: probing ONE key touches ONLY its bucket's files
+        kv = keys_full.select("key").first()[0]
+        man = _compaction_manifest(spark, wd + "/keys_compacted")
+        expected_bucket = spark.createDataFrame([(kv,)], "key string").select(
+            F.pmod(F.xxhash64("key"), F.lit(man["n_buckets"])).alias("b")
+        ).first()["b"]
+        pruned = _read_corpus_table(
+            spark, wd, "keys", exclude_batch=-1,
+            prune_by=spark.createDataFrame([(kv,)], "key string"),
+        )
+        pruned_rows = pruned.collect()
+        # the isin lands in the scan's PartitionFilters (inputFiles() reports
+        # the unpruned leaf relation, so the executed plan is the evidence)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+        assert pf, f"no bucket PartitionFilters in scan:\n{plan[:2000]}"
+        assert str(int(expected_bucket)) in pf.group(1)
+        # every surviving row hashes into the probed bucket, and the probed
+        # key's rows are all intact — pruning lost nothing it needed
+        row_buckets = {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(r["key"],) for r in pruned_rows], "key string"
+            ).select(F.pmod(F.xxhash64("key"), F.lit(man["n_buckets"])).alias("b")).collect()
+        }
+        assert row_buckets == {int(expected_bucket)}, row_buckets
+        assert sum(1 for r in pruned_rows if r["key"] == kv) == 3  # nothing lost
+
+        # (c) a post-compaction arrival matches the compacted corpus
+        write_file([("convC", 0, "user", blurb, None,
+                     t0 + dt.timedelta(minutes=2))], "b3.parquet")
+        q2 = incremental_match(spark, str(in_dir), wd, max_files_per_trigger=1)
+        q2.awaitTermination(240)
+        matches = spark.read.parquet(wd + "/matches")
+        got = {tuple(sorted((r["conv_id_a"], r["conv_id_b"]))): r
+               for r in matches.collect()}
+        for other in ("convA1", "convA2", "convB"):
+            assert got[tuple(sorted(("convC", other)))]["strategy"] == "IDENTIFIER"
+        assert matches.count() == n_matches_before + 3
+        # I13 used compacted counts (3) + this batch's delta (1)
+        cflags = {d["type"]
+                  for pair, r in got.items() if "convC" in pair
+                  for d in r["discrepancies"]}
+        assert "POTENTIAL_DUPLICATE_SHORT_NAME" in cflags
+
+        # re-compaction folds the previous compaction + the new batch
+        stats2 = compact_corpus(spark, wd, n_buckets=8, prune_raw=True)
+        assert stats2["keys"]["h"] == 2
+        assert _read_corpus_table(spark, wd, "records", -1).count() == 4
+        assert {r["clean_name_key"]: r["n"]
+                for r in _read_corpus_table(spark, wd, "key_counts", -1).collect()
+                } == {"quiettimberworksllc": 4}
