@@ -17,7 +17,8 @@ Four scale-graded strategies over a document table ``(doc_id, text, ...)``:
 - ``minhash_lsh_pairs``: MinHash signatures over word shingles, banded LSH —
   the sub-quadratic path for corpus-vs-corpus near-dup at 100 TB. The
   md5-derived hash family is engine-independent (DuckDB reproduces the exact
-  signatures in the driver oracle).
+  signatures in the driver oracle). The signature build is a zero-shuffle
+  per-row ``array_min`` fold (round 4); only the band-bucket join shuffles.
 - ``simhash_signatures``: 60-bit SimHash per document via native bit
   arithmetic — Hamming-distance bucketing for fuzzy near-dup, no Python.
   60 bits (not 64) keeps the signature positive in a signed BIGINT so the
@@ -117,17 +118,32 @@ def minhash_lsh_pairs(
     # a mega-bucket in every band -> quadratic spurious candidates. Dropping
     # '' here excludes empty docs from LSH entirely (exact_duplicates already
     # groups them).
-    toks = docs.select(id_col, F.explode(shingles).alias("tok")).where(F.col("tok") != "")
-    # all k minhashes as PARALLEL aggregate expressions over the (doc,
-    # shingle) rows — one groupBy with k min() columns instead of exploding
-    # k x rows through the shuffle (the explode formulation was the slowest
-    # dedup query; this is the same signature bytes with 1/k the shuffle)
-    sig = toks.groupBy(id_col).agg(*[
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok"))), 1, 12)
+    #
+    # The signature build is a ZERO-shuffle per-row fold (round 4): each
+    # minhash is array_min over the doc's own shingle array — identical bytes
+    # to the earlier explode + k-parallel-min groupBy (min over a string set
+    # is order-free), with the corpus-wide (doc, shingle) shuffle removed
+    # entirely. The only shuffles left in the operator are the band-bucket
+    # self-join and the final distinct.
+    def _mh(i: int) -> F.Column:
+        # NB: the lambda must stay single-argument — a second (defaulted)
+        # parameter makes PySpark treat it as the (element, index) transform
+        # variant and bind the extra name to the index Column. Plain closure
+        # capture of ``i`` is safe: HOF lambdas are invoked eagerly at
+        # expression-build time.
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 12),
+            )
         ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ])
+
+    sh = F.filter(shingles, lambda t: t != "")
+    sig = (
+        docs.select(id_col, sh.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(id_col, *[_mh(i) for i in range(num_hashes)])
+    )
     n_bands = num_hashes // rows_per_band
 
     def bucket(b: int) -> F.Column:
@@ -644,11 +660,17 @@ def fingerprints(
 ) -> DataFrame:
     """(doc_id, fingerprint) — winnowing-style min md5 over ``window``-char
     windows sampled every ``stride`` chars (rolling-hash analog,
-    engine-portable)."""
-    pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (window - 1), F.lit(1)), F.lit(stride))
+    engine-portable).
+
+    ZERO shuffle (round 4): the min-hash is a per-row ``array_min`` fold over
+    the doc's own window positions — identical bytes to the earlier
+    explode-one-row-per-stride + groupBy-min (min over strings is
+    order-free), with the corpus-wide (doc, window-hash) shuffle removed.
+    """
+    pos = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col) - (window - 1), F.lit(1)), F.lit(stride)
     )
-    w = docs.select(id_col, text_col, pos.alias("p")).select(
-        id_col, F.md5(F.substring(F.col(text_col), F.col("p"), window)).alias("h")
+    fp = F.array_min(
+        F.transform(pos, lambda p: F.md5(F.col(text_col).substr(p, F.lit(window))))
     )
-    return w.groupBy(id_col).agg(F.min("h").alias("fingerprint"))
+    return docs.select(id_col, fp.alias("fingerprint"))

@@ -293,6 +293,10 @@ def compact_corpus(
             if mx is not None:
                 new_high = mx if new_high is None else max(new_high, mx)
                 parts.append(raw_df.drop("batch_id"))
+        if prev and (new_high is None or new_high == prev["h"]):
+            # nothing newer than the last compaction: rewriting h=<prev>
+            # would overwrite the directory the plan lazily READS from
+            continue
         if prev:
             comp_prev = spark.read.parquet(f"{comp_base}/h={prev['h']}")
             parts.append(comp_prev.drop("bucket") if "bucket" in comp_prev.columns else comp_prev)

@@ -130,6 +130,37 @@ class TestDedupPlans:
             f"simhash_signatures must be shuffle-free, found {n_exchange} Exchange:\n{plan}"
         )
 
+    def test_fingerprints_zero_shuffle_zero_generate(self, spark, tmp_path):
+        # round 4: the winnowing fingerprint is a per-row array_min fold —
+        # no explode-per-stride (Generate) and no groupBy (Exchange)
+        from entity_matching_spark.operators.dedup import fingerprints
+
+        p = str(tmp_path / "fdocs.parquet")
+        spark.createDataFrame(
+            [(i, "x" * 40 + f"tail{i}") for i in range(50)],
+            "doc_id int, text string",
+        ).write.parquet(p)
+        plan = _executed_plan(fingerprints(spark.read.parquet(p)))
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+        assert not re.search(r"\(\d+\) Generate", plan), plan
+
+    def test_minhash_signature_build_no_shingle_explode(self, spark, tmp_path):
+        # round 4: minhash signatures fold per-row; the ONLY Generate left in
+        # the pair plan is the k-bands-per-doc explode (4 rows/doc), never
+        # the per-shingle explode (O(words) rows/doc)
+        from entity_matching_spark.operators.dedup import minhash_lsh_pairs
+
+        p = str(tmp_path / "mdocs.parquet")
+        spark.createDataFrame(
+            [(i, f"alpha beta gamma delta tok{i} tok{i + 1} tok{i + 2}") for i in range(50)],
+            "doc_id int, text string",
+        ).write.parquet(p)
+        plan = _executed_plan(minhash_lsh_pairs(spark.read.parquet(p)))
+        n_generate = len(re.findall(r"\(\d+\) Generate", plan))
+        assert n_generate <= 2, (  # one band explode per join side at most
+            f"shingle explode crept back into minhash ({n_generate} Generate):\n{plan}"
+        )
+
 
 class TestScanPruning:
     def test_probe_filter_pushed_to_parquet_scan(self, spark, tmp_path):

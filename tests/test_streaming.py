@@ -554,3 +554,9 @@ class TestCorpusCompaction:
         assert {r["clean_name_key"]: r["n"]
                 for r in _read_corpus_table(spark, wd, "key_counts", -1).collect()
                 } == {"quiettimberworksllc": 4}
+
+        # compacting AGAIN with nothing new is a no-op (rewriting the same
+        # h= directory would clobber the data the plan lazily reads from)
+        stats3 = compact_corpus(spark, wd, n_buckets=8, prune_raw=True)
+        assert stats3 == {}
+        assert _read_corpus_table(spark, wd, "records", -1).count() == 4
