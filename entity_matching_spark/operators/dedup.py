@@ -17,8 +17,9 @@ Four scale-graded strategies over a document table ``(doc_id, text, ...)``:
 - ``minhash_lsh_pairs``: MinHash signatures over word shingles, banded LSH —
   the sub-quadratic path for corpus-vs-corpus near-dup at 100 TB. The
   md5-derived hash family is engine-independent (DuckDB reproduces the exact
-  signatures in the driver oracle). The signature build is a zero-shuffle
-  per-row ``array_min`` fold (round 4); only the band-bucket join shuffles.
+  signatures in the driver oracle). The signature build shuffles token rows
+  ONCE through k parallel codegen min() aggregates (a zero-shuffle HOF fold
+  was measured slower — interpreted lambdas — and reverted, round 4).
 - ``simhash_signatures``: 60-bit SimHash per document via native bit
   arithmetic — Hamming-distance bucketing for fuzzy near-dup, no Python.
   60 bits (not 64) keeps the signature positive in a signed BIGINT so the
@@ -125,25 +126,21 @@ def minhash_lsh_pairs(
     # is order-free), with the corpus-wide (doc, shingle) shuffle removed
     # entirely. The only shuffles left in the operator are the band-bucket
     # self-join and the final distinct.
-    def _mh(i: int) -> F.Column:
-        # NB: the lambda must stay single-argument — a second (defaulted)
-        # parameter makes PySpark treat it as the (element, index) transform
-        # variant and bind the extra name to the index Column. Plain closure
-        # capture of ``i`` is safe: HOF lambdas are invoked eagerly at
-        # expression-build time.
-        return F.array_min(
-            F.transform(
-                F.col("_sh"),
-                lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 12),
-            )
+    toks = docs.select(id_col, F.explode(shingles).alias("tok")).where(F.col("tok") != "")
+    # all k minhashes as PARALLEL aggregate expressions over the (doc,
+    # shingle) rows — one groupBy with k min() columns instead of exploding
+    # k x rows through the shuffle. A per-row array_min fold was tried
+    # (round 4) and reverted: higher-order-function lambdas evaluate
+    # INTERPRETED, so the k md5s per shingle ran several times slower than
+    # this whole-stage-codegen explode, and losing the shuffle boundary made
+    # the band join recompute the signatures per plan reference. One shuffle
+    # of map-side-combined k-column partials per doc is the right trade.
+    sig = toks.groupBy(id_col).agg(*[
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok"))), 1, 12)
         ).alias(f"mh{i}")
-
-    sh = F.filter(shingles, lambda t: t != "")
-    sig = (
-        docs.select(id_col, sh.alias("_sh"))
-        .where(F.size("_sh") > 0)
-        .select(id_col, *[_mh(i) for i in range(num_hashes)])
-    )
+        for i in range(num_hashes)
+    ])
     n_bands = num_hashes // rows_per_band
 
     def bucket(b: int) -> F.Column:
@@ -397,53 +394,32 @@ def simhash_signatures(
     signed 64-bit long and the DuckDB oracle can rebuild it exactly with
     ``('0x' || substr(md5(tok), 1, 15))::BIGINT``.
 
-    Scale shape: ZERO shuffle. The whole signature is a per-row fold —
-    token-hash array (one md5 per distinct token), then per-bit majority
-    counts via nested higher-order functions, then the bit-sum — all inside
-    one whole-stage-codegen Project, so throughput is the parquet scan. The
-    previous formulation exploded (doc, bit, contrib) to 60 rows PER TOKEN
-    and ran two corpus-wide groupBys — a 60× shuffle amplification on the
-    signature build that this fold removes with bit-identical output
-    (pinned by the driver oracle and the blocked≡brute-force test; the
-    per-doc fold and the old per-bit integer sums are order-independent, so
-    no float/ordering drift is possible). Docs with no tokens emit no row,
-    exactly like the explode formulation.
+    Scale shape: ONE token-row shuffle (down from the round-2/3 formulation's
+    explode to 60 rows PER TOKEN followed by TWO corpus-wide groupBys). Each
+    token row carries its 60-bit md5 value once; a single groupBy(doc_id)
+    computes all 60 per-bit majority counts as PARALLEL conditional-sum
+    aggregates (map-side combined — the shuffle moves one 60-column partial
+    per doc per map partition, not token rows), and the final signature is a
+    native bit-sum over the 60 count columns. Everything is whole-stage
+    codegen. A fully shuffle-free per-row nested-HOF fold was tried (round
+    4) and reverted: higher-order-function lambdas evaluate INTERPRETED, so
+    the 60 x tokens bit loop ran several times slower than this codegen
+    explode, and losing the shuffle boundary made downstream band joins
+    recompute signatures per plan reference. Output is bit-identical across
+    all three formulations (integer sums, order-free), pinned by the driver
+    oracle and the blocked≡brute-force test. Docs with no tokens emit no row.
     """
-    toks_arr = F.array_distinct(
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    )
-    hvs = F.transform(
-        toks_arr,
-        lambda t: F.conv(F.substring(F.md5(t), 1, SIMHASH_BITS // 4), 16, 10).cast("long"),
-    )
-    # counts[b] = sum over tokens of (bit b of hv ? +1 : -1)
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda b: F.aggregate(
-            F.col("_hvs"),
-            F.lit(0).cast("long"),
-            lambda acc, hv: acc
-            + (F.call_function("shiftright", hv, b).bitwiseAND(F.lit(1)) * 2 - 1),
-        ),
-    )
-    sig_bits = F.zip_with(
-        F.col("_counts"),
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda c, b: F.call_function("shiftleft", (c > F.lit(0)).cast("long"), b),
-    )
-    return (
-        # the emptiness filter tests the cheap token array (no md5) so the
-        # hash transform is evaluated once per surviving row, not twice
-        docs.where(F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")) > 0)
-        .select(id_col, hvs.alias("_hvs"))
-        .select(id_col, counts.alias("_counts"))
-        .select(
-            id_col,
-            F.aggregate(sig_bits, F.lit(0).cast("long"), lambda a, x: a + x).alias(
-                "simhash"
-            ),
-        )
-    )
+    toks = _tokens(docs, id_col, text_col, [])
+    hv = F.conv(F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
+    counts = toks.select(id_col, hv.alias("hv")).groupBy(id_col).agg(*[
+        F.sum(F.expr(f"(shiftright(hv, {b}) & 1) * 2 - 1")).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.expr(f"shiftleft(cast(c{b} > 0 as bigint), {b})")
+        sig = term if sig is None else sig + term
+    return counts.select(id_col, sig.alias("simhash"))
 
 
 def simhash60_py(text: str | None) -> int:

