@@ -164,9 +164,10 @@ def main() -> int:
     log(f"[bench] host calibration: {cal}")
 
     # best-of-k ER runs: single cold runs on this box are contaminated by
-    # host-speed swings (VERDICT r2); k>=2 with best-of reported is the
+    # host-speed swings (VERDICT r2; round 4 again measured 29k vs 8.9k for
+    # the SAME binary within one session). k=3 with best-of reported is the
     # round-over-round comparable number, er_runs keeps the raw samples
-    er_k = int(os.environ.get("EM_BENCH_ER_RUNS", "2"))
+    er_k = int(os.environ.get("EM_BENCH_ER_RUNS", "3"))
     log(f"[bench] ER pipeline: {n_families} families, local[{cpus}], best of {er_k}")
     # generate the corpus ONCE; every run measures the pipeline, not the gen
     from entity_matching_spark.sources.synth import generate_corpus, transcripts_to_spark

@@ -560,3 +560,41 @@ class TestCorpusCompaction:
         stats3 = compact_corpus(spark, wd, n_buckets=8, prune_raw=True)
         assert stats3 == {}
         assert _read_corpus_table(spark, wd, "records", -1).count() == 4
+
+
+class TestCompactCorpusCLI:
+    def test_cli_compacts_and_reports(self, spark, tmp_path):
+        """jobs/compact_corpus.py drives streaming.ingest.compact_corpus over
+        an incremental_match work dir and prints the per-table stats."""
+        import datetime as dt
+        import glob as globmod
+        import json
+        import shutil
+        import sys
+
+        from entity_matching_spark.streaming.ingest import incremental_match
+
+        sys.path.insert(0, "/root/repo")
+        import jobs.compact_corpus as cli
+
+        ddl = ("conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp")
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+        in_dir = tmp_path / "ccin"
+        in_dir.mkdir()
+        stage = str(tmp_path / "ccstage")
+        spark.createDataFrame(
+            [("c1", 0, "user", "Legal Name: Oak Mill LLC\nMEI: US00000011", None, t0),
+             ("c2", 0, "user", "Legal Name: Oak Mill LLC\nMEI: US00000011", None, t0)],
+            ddl,
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(globmod.glob(stage + "/part-*.parquet")[0], str(in_dir / "b1.parquet"))
+
+        wd = str(tmp_path / "ccwork")
+        q = incremental_match(spark, str(in_dir), wd, max_files_per_trigger=1)
+        q.awaitTermination(240)
+
+        rc = cli.main(["--work-dir", wd, "--buckets", "4", "--prune-raw"])
+        assert rc == 0
+        assert not globmod.glob(wd + "/keys/batch_id=*")
+        assert json.load(open(wd + "/keys_compacted/MANIFEST.json"))["n_buckets"] == 4

@@ -26,6 +26,10 @@ def run(cpus: int, families: int, sf_dir: str, transcripts_path: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         EM_BENCH_FAMILIES=str(families),
         EM_BENCH_QUERIES_SKIP="1",
+        # inner best-of-2 (not bench.py's default 3): each level already
+        # reports best-of across EM_SCALING_REPEATS x this, and the local[2]
+        # leg costs ~13 min/run at 64k families
+        EM_BENCH_ER_RUNS=os.environ.get("EM_BENCH_ER_RUNS", "2"),
         EM_BENCH_TRANSCRIPTS=transcripts_path,
         # tmpfs shuffle + stage outputs: emulate per-executor disks (a single
         # shared spinning disk would bottleneck both levels identically and
