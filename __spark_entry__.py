@@ -1678,6 +1678,64 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# BM25 setup: a fixed probe query over the synthetic documents vocabulary
+_BM25_QUERY = "hash join order"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed probe query
+    (operators/text.bm25_scores) — per-term tf/dl are per-row projections;
+    the only corpus-wide work is ONE single-pass aggregate (N, total length,
+    per-term document frequencies) broadcast back. The DuckDB oracle
+    recomputes the identical Lucene-shaped formula term-by-term in the same
+    order; 9-dp rounding absorbs libm ulp noise."""
+    from entity_matching_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        _read(spark, sf_dir, "documents"), _BM25_QUERY, k1=_BM25_K1, b=_BM25_B
+    ).orderBy("doc_id")
+
+
+def _sql_text_bm25(sf: str) -> str:
+    terms = sorted({t for t in _BM25_QUERY.split(" ") if t})
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = "\n           + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({k1} + 1)"
+        f" / (tf_{i} + {k1} * (1 - {b} + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM t
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {df_cols}
+      FROM m
+    )
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           round({score}, 9) AS score
+    FROM m, s ORDER BY doc_id
+    """
+
+
 def _sql_lang_id(sf: str) -> str:
     structs = ", ".join(
         "{'hits': len(list_filter(toks, x -> list_contains(["
@@ -2549,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_token_stats,
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
+        "text_bm25": q_text_bm25,
         "text_pii": q_text_pii,
         "text_contamination": q_text_contamination,
         "text_sample": q_text_sample,
@@ -2605,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _sql_token_stats(sf),
         "text_quality_score": _sql_quality_score(sf),
         "text_lang_id": _sql_lang_id(sf),
+        "text_bm25": _sql_text_bm25(sf),
         "text_pii": _sql_text_pii(sf),
         "text_contamination": _sql_text_contamination(sf),
         "text_sample": _sql_text_sample(sf),

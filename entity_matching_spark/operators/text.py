@@ -11,6 +11,9 @@ shuffle: each is a pure projection, so throughput is the parquet scan):
 - ``language_id``: stopword-marker voting per language, argmax with a
   deterministic tie-break — the n-gram-heuristic family done as a native
   sort_array over (hits, lang) structs.
+- ``bm25_scores``: Lucene-shaped BM25 of every document against a fixed
+  query string — per-row tf/dl projections + ONE single-pass corpus
+  aggregate broadcast back (the retrieval/triage primitive).
 
 No reference analog (graft-brief requirement beyond fmateoc/entity-matching).
 """
@@ -93,6 +96,72 @@ def vocab_topk(
 
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
     return top.select(F.row_number().over(w).alias("rank"), "token", "cnt")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 9,
+) -> DataFrame:
+    """(doc_id, dl, score): per-document BM25 relevance against a fixed
+    query string — the retrieval/triage primitive of the text family
+    (rank a corpus against a benchmark prompt, a contamination probe, a
+    topicality screen).
+
+    Lucene-shaped BM25: terms = distinct whitespace tokens of ``query``;
+    idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5));
+    score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: per-term tf and the doc length are per-row projections
+    (native array ops over a FIXED literal term list — no explode, no UDF);
+    the only corpus-wide work is ONE aggregate computing N, Σdl, and every
+    term's document frequency in a single pass (conditional sums), crossed
+    back in as a broadcast one-row table. So: one scan + one scalar agg,
+    zero data-sized shuffles — the right shape for scoring 100 TB against a
+    handful of query terms. Scores round to ``round_dp`` so the DuckDB
+    oracle (same term order, same formula) agrees despite libm ulp noise.
+    """
+    terms = sorted({t for t in query.split(" ") if t})
+    if not terms:
+        raise ValueError("bm25_scores: query has no non-empty terms")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+    def _tf(term: str) -> F.Column:
+        # single-argument lambda (a defaulted second param would select the
+        # (element, index) filter variant); eager HOF invocation makes plain
+        # closure capture of ``term`` safe
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(1.0) - b + F.lit(b) * F.col("dl") / avgdl
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        term_score = idf * tf * (k1 + 1) / (tf + F.lit(k1) * norm)
+        score = term_score if score is None else score + term_score
+    return joined.select(id_col, "dl", F.round(score, round_dp).alias("score"))
 
 
 def language_id(

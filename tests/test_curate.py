@@ -257,3 +257,53 @@ class TestCanonicalDocs:
         got = {r["doc_id"]: r["keep"] for r in
                canonical_docs(docs, pairs, quality=quality).collect()}
         assert got[2] is True and got[1] is False
+
+
+class TestBM25:
+    def test_hand_computed_two_docs(self, spark):
+        """BM25 against a 2-doc corpus, checked against the hand-evaluated
+        Lucene formula."""
+        import math
+
+        from entity_matching_spark.operators.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [("d1", "hash join hash"), ("d2", "full scan")],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"]: r for r in bm25_scores(docs, "hash scan").collect()}
+        n, k1, b = 2, 1.2, 0.75
+        avgdl = (3 + 2) / 2
+        def bm(tf, df, dl):
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert got["d1"]["dl"] == 3 and got["d2"]["dl"] == 2
+        assert abs(got["d1"]["score"] - round(bm(2, 1, 3), 9)) < 1e-9   # 'hash' only
+        assert abs(got["d2"]["score"] - round(bm(1, 1, 2), 9)) < 1e-9   # 'scan' only
+
+    def test_no_explode_no_udf(self, spark, tmp_path):
+        import re
+
+        from entity_matching_spark.operators.text import bm25_scores
+
+        p = str(tmp_path / "bdocs.parquet")
+        spark.createDataFrame(
+            [(i, f"hash join tok{i} order by") for i in range(40)],
+            "doc_id int, text string",
+        ).write.parquet(p)
+        df = bm25_scores(spark.read.parquet(p), "hash order")
+        df.count()
+        fm = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(fm)
+        assert not re.search(r"\(\d+\) Generate", plan), plan      # no explode
+        assert "EvalPython" not in plan                            # no UDF
+        assert re.search(r"\(\d+\) BroadcastExchange", plan), plan # stats row broadcast
+
+    def test_empty_query_raises(self, spark):
+        import pytest as _pytest
+
+        from entity_matching_spark.operators.text import bm25_scores
+
+        docs = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+        with _pytest.raises(ValueError, match="no non-empty terms"):
+            bm25_scores(docs, "   ")
