@@ -1736,6 +1736,45 @@ def _sql_text_bm25(sf: str) -> str:
     """
 
 
+_TFIDF_K = 3
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by tf-idf (operators/text.tfidf_topk_terms)
+    — keyword extraction over the corpus. Ranking uses the 9-dp-ROUNDED
+    tfidf with a term tie-break so both engines order identically."""
+    from entity_matching_spark.operators.text import tfidf_topk_terms
+
+    return tfidf_topk_terms(
+        _read(spark, sf_dir, "documents"), k=_TFIDF_K
+    ).orderBy("doc_id", "rank")
+
+
+def _sql_text_tfidf(sf: str) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf, tfidf
+    FROM ranked WHERE rank <= {_TFIDF_K} ORDER BY doc_id, rank
+    """
+
+
 def _sql_lang_id(sf: str) -> str:
     structs = ", ".join(
         "{'hits': len(list_filter(toks, x -> list_contains(["
@@ -2608,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
         "text_bm25": q_text_bm25,
+        "text_tfidf": q_text_tfidf,
         "text_pii": q_text_pii,
         "text_contamination": q_text_contamination,
         "text_sample": q_text_sample,
@@ -2665,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _sql_quality_score(sf),
         "text_lang_id": _sql_lang_id(sf),
         "text_bm25": _sql_text_bm25(sf),
+        "text_tfidf": _sql_text_tfidf(sf),
         "text_pii": _sql_text_pii(sf),
         "text_contamination": _sql_text_contamination(sf),
         "text_sample": _sql_text_sample(sf),

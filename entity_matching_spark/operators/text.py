@@ -14,6 +14,9 @@ shuffle: each is a pure projection, so throughput is the parquet scan):
 - ``bm25_scores``: Lucene-shaped BM25 of every document against a fixed
   query string — per-row tf/dl projections + ONE single-pass corpus
   aggregate broadcast back (the retrieval/triage primitive).
+- ``tfidf_topk_terms``: per-document top-k keyword extraction by tf-idf —
+  keyed tf/df aggregates + a per-doc window (the only non-projection ops in
+  the module, all map-side-combinable).
 
 No reference analog (graft-brief requirement beyond fmateoc/entity-matching).
 """
@@ -162,6 +165,54 @@ def bm25_scores(
         term_score = idf * tf * (k1 + 1) / (tf + F.lit(k1) * norm)
         score = term_score if score is None else score + term_score
     return joined.select(id_col, "dl", F.round(score, round_dp).alias("score"))
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 9,
+) -> DataFrame:
+    """(doc_id, rank, term, tf, tfidf): each document's top-``k`` terms by
+    tf-idf — the keyword-extraction / document-profiling primitive
+    (tfidf = tf · ln(N / df), smooth-free since df >= 1 by construction).
+
+    Scale shape: all keyed shuffles — (doc, term) tf counts (map-side
+    combined), vocab-keyed df counts, a term-keyed join of the two (the df
+    side is vocabulary-sized, so no broadcast is forced; AQE decides), and
+    a per-doc window bounded by each doc's distinct-term count. N arrives
+    via a broadcast one-row aggregate. Ranking uses the ROUNDED tfidf
+    (``round_dp``) with a term tie-break, so near-ties collapse to exact
+    ties broken identically in both engines — the ordering the DuckDB
+    oracle reproduces.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col, "term", "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                round_dp,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "tfidf")
+    )
 
 
 def language_id(

@@ -307,3 +307,34 @@ class TestBM25:
         docs = spark.createDataFrame([("d", "x")], "doc_id string, text string")
         with _pytest.raises(ValueError, match="no non-empty terms"):
             bm25_scores(docs, "   ")
+
+
+class TestTfIdf:
+    def test_hand_computed(self, spark):
+        import math
+
+        from entity_matching_spark.operators.text import tfidf_topk_terms
+
+        docs = spark.createDataFrame(
+            [("d1", "apple apple banana"), ("d2", "banana cherry"), ("d3", "cherry cherry date")],
+            "doc_id string, text string",
+        )
+        got = {(r["doc_id"], r["rank"]): r for r in tfidf_topk_terms(docs, k=2).collect()}
+        # d1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+        assert got[("d1", 1)]["term"] == "apple"
+        assert abs(got[("d1", 1)]["tfidf"] - round(2 * math.log(3), 9)) < 1e-9
+        assert got[("d1", 2)]["term"] == "banana"
+        # d3: cherry tf=2 df=2 -> 2*ln(1.5) = 0.81; date tf=1 df=1 -> ln(3) = 1.098
+        assert got[("d3", 1)]["term"] == "date"
+        assert got[("d3", 2)]["term"] == "cherry"
+
+    def test_tie_breaks_to_smaller_term(self, spark):
+        from entity_matching_spark.operators.text import tfidf_topk_terms
+
+        docs = spark.createDataFrame(
+            [("d1", "zeta alpha"), ("d2", "other words")],
+            "doc_id string, text string",
+        )
+        got = [r["term"] for r in tfidf_topk_terms(docs, k=2)
+               .where("doc_id = 'd1'").orderBy("rank").collect()]
+        assert got == ["alpha", "zeta"]  # equal tfidf -> lexicographic
