@@ -1597,6 +1597,112 @@ def _sql_ann_ivf_recall_trained(sf: str, init: str = "first") -> str:
     """
 
 
+_SQ_LEVELS = 256
+
+
+def q_ann_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of the embeddings table (operators/ann.
+    quantization_model + quantize_embeddings): per-dimension corpus min/max
+    -> int8-range codes, exploded to (vec_id, pos, q) for the oracle. The
+    quantization itself is a zero-shuffle zip_with projection against the
+    broadcast one-row model."""
+    from entity_matching_spark.operators.ann import (
+        quantization_model, quantize_embeddings,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    model = quantization_model(e)
+    q = quantize_embeddings(e, model, levels=_SQ_LEVELS)
+    return q.select("vec_id", F.posexplode("qemb").alias("pos", "q")).orderBy(
+        "vec_id", "pos"
+    )
+
+
+def _sql_ann_quantize(sf: str) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dims AS (SELECT max(len(emb)) AS m FROM v),
+    idx AS (SELECT unnest(generate_series(1, (SELECT m FROM dims))) AS i),
+    x AS (SELECT vec_id, idx.i - 1 AS pos, emb[idx.i] AS val
+          FROM v, idx WHERE idx.i <= len(emb)),
+    mm AS (SELECT pos, min(val) AS dmin, max(val) AS dmax FROM x GROUP BY pos)
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           CAST(CASE WHEN dmax > dmin
+                     THEN round((val - dmin) / (dmax - dmin) * {_SQ_LEVELS - 1})
+                     ELSE 0 END AS INT) AS q
+    FROM x JOIN mm USING (pos) ORDER BY vec_id, pos
+    """
+
+
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of brute-force search over the QUANTIZED corpus (quantize ->
+    dequantize -> cosine top-k) against exact search — measures what the 4x
+    storage compression costs in search quality."""
+    from entity_matching_spark.operators.ann import (
+        brute_force_topk, ivf_recall, quantized_topk,
+    )
+
+    e, _, probes = _ann_parts(spark, sf_dir)
+    exact = brute_force_topk(e, probes, _ANN_K)
+    qk = quantized_topk(e, probes, _ANN_K, levels=_SQ_LEVELS)
+    return ivf_recall(qk, exact, _ANN_K).orderBy("probe_id")
+
+
+def _sql_ann_quantized_recall(sf: str) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dims AS (SELECT max(len(emb)) AS m FROM v),
+    idx AS (SELECT unnest(generate_series(1, (SELECT m FROM dims))) AS i),
+    x AS (SELECT vec_id, idx.i - 1 AS pos, emb[idx.i] AS val
+          FROM v, idx WHERE idx.i <= len(emb)),
+    mm AS (SELECT pos, min(val) AS dmin, max(val) AS dmax FROM x GROUP BY pos),
+    dq AS (
+      SELECT vec_id, pos,
+             dmin + (CASE WHEN dmax > dmin
+                          THEN round((val - dmin) / (dmax - dmin) * {_SQ_LEVELS - 1})
+                          ELSE 0 END) * (dmax - dmin) / {_SQ_LEVELS - 1} AS dval
+      FROM x JOIN mm USING (pos)
+    ),
+    deq AS (SELECT vec_id, list(dval ORDER BY pos) AS emb FROM dq GROUP BY vec_id),
+    probes AS ({_SQL_ANN_PROBES}),
+    q_sims AS (
+      SELECT probe_id, d.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(pe AS DOUBLE[]), d.emb) AS cos
+      FROM probes, deq d WHERE d.vec_id <> probe_id
+    ),
+    q_topk AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM q_sims
+      ) WHERE rank <= {_ANN_K}
+    ),
+    exact_sims AS (
+      SELECT probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM probes, embeddings e WHERE e.vec_id <> probe_id
+    ),
+    exact_topk AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM exact_sims
+      ) WHERE rank <= {_ANN_K}
+    ),
+    hits AS (
+      SELECT e.probe_id, COUNT(*) AS n_hits
+      FROM exact_topk e JOIN q_topk q
+        ON q.probe_id = e.probe_id AND q.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
+    )
+    SELECT p.probe_id,
+           COALESCE(n_hits, 0) AS n_hits,
+           round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / {_ANN_K}, 6) AS recall
+    FROM (SELECT DISTINCT probe_id FROM exact_topk) p LEFT JOIN hits USING (probe_id)
+    ORDER BY probe_id
+    """
+
+
 # ===========================================================================
 # Training-data ops — text analysis
 # ===========================================================================
@@ -2643,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall_trained": q_ann_ivf_recall_trained,
         "ann_ivf_recall_pp": q_ann_ivf_recall_pp,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_quantize": q_ann_quantize,
+        "ann_quantized_recall": q_ann_quantized_recall,
         "text_token_stats": q_token_stats,
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
@@ -2697,6 +2805,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assign": _sql_ann_ivf_assign(sf),
         "ann_ivf_search": _sql_ann_ivf_search(sf),
         "ann_ivf_recall": _sql_ann_ivf_recall(sf),
+        "ann_quantize": _sql_ann_quantize(sf),
+        "ann_quantized_recall": _sql_ann_quantized_recall(sf),
         "ann_kmeans_train": _sql_ann_kmeans_train(sf),
         "ann_kmeans_pp_train": _sql_ann_kmeans_pp_train(sf),
         "ann_ivf_recall_trained": _sql_ann_ivf_recall_trained(sf),

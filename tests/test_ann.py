@@ -183,3 +183,57 @@ class TestKMeansParallelInit:
         v = spark.createDataFrame([(0, [1.0])], "vec_id int, embedding array<double>")
         with _pytest.raises(ValueError, match="unknown init"):
             kmeans_centroids(v, k=1, init="nope")
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded(self, spark, vectors):
+        """Dequantized values sit within half a quantization step of the
+        original, and the codes stay in [0, levels-1]."""
+        from entity_matching_spark.operators.ann import (
+            dequantize_embeddings, quantization_model, quantize_embeddings,
+        )
+
+        model = quantization_model(vectors)
+        mm = {r["pos"]: (r["dmin"], r["dmax"]) for r in model.collect()}
+        q = quantize_embeddings(vectors, model, levels=16)
+        codes = {r["vec_id"]: r["qemb"] for r in q.collect()}
+        assert all(0 <= c <= 15 for arr in codes.values() for c in arr)
+        deq = {r["vec_id"]: r["embedding"]
+               for r in dequantize_embeddings(q, model, levels=16).collect()}
+        orig = {r["vec_id"]: [float(x) for x in r["embedding"]]
+                for r in vectors.collect()}
+        for vid, arr in orig.items():
+            for pos, x in enumerate(arr):
+                step = (mm[pos][1] - mm[pos][0]) / 15
+                assert abs(deq[vid][pos] - x) <= step / 2 + 1e-9
+
+    def test_constant_dimension_quantizes_to_zero(self, spark):
+        from entity_matching_spark.operators.ann import (
+            quantization_model, quantize_embeddings,
+        )
+
+        v = spark.createDataFrame(
+            [(i, [5.0, float(i)]) for i in range(4)],
+            "vec_id int, embedding array<double>",
+        )
+        q = {r["vec_id"]: r["qemb"] for r in
+             quantize_embeddings(v, quantization_model(v)).collect()}
+        assert all(arr[0] == 0 for arr in q.values())   # constant dim
+        assert q[0][1] == 0 and q[3][1] == 255          # full range
+
+    def test_quantized_search_high_recall_at_256_levels(self, spark, vectors):
+        """At 256 levels quantized search stays close to exact — on the ring
+        corpus neighbors are nearly equidistant (the adversarial case for
+        rank stability), so allow one flipped rank per probe."""
+        from entity_matching_spark.operators.ann import (
+            brute_force_topk, ivf_recall, quantized_topk,
+        )
+
+        probes = vectors.where("vec_id < 4").selectExpr(
+            "vec_id AS probe_id", "embedding AS pe"
+        )
+        exact = brute_force_topk(vectors, probes, 3)
+        qk = quantized_topk(vectors, probes, 3, levels=256)
+        rec = {r["probe_id"]: r["recall"] for r in ivf_recall(qk, exact, 3).collect()}
+        assert all(v >= 2 / 3 for v in rec.values())
+        assert sum(rec.values()) / len(rec) >= 0.8
