@@ -2066,6 +2066,52 @@ def _sql_text_sample(sf: str) -> str:
     """
 
 
+_PACK_CHUNK = 512
+_PACK_SHARDS = 4
+
+
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing manifest (operators/curate.pack_documents):
+    concat-and-chunk positions for every document in deterministic
+    md5-sharded token streams. One window cumsum per shard — the shard count
+    bounds every sort; the oracle rebuilds the identical manifest."""
+    from entity_matching_spark.operators.curate import pack_documents
+
+    return pack_documents(
+        _read(spark, sf_dir, "documents"),
+        chunk_tokens=_PACK_CHUNK, n_shards=_PACK_SHARDS,
+    ).orderBy("doc_id")
+
+
+def _sql_text_pack(sf: str) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             md5('pack|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(('0x' || substr(h, 1, 8))::BIGINT % {_PACK_SHARDS} AS INT) AS shard,
+             h AS ord
+      FROM base
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+      FROM s
+    )
+    SELECT doc_id, shard, n_tokens,
+           end_tok - n_tokens AS start_tok, end_tok,
+           CAST((end_tok - n_tokens) // {_PACK_CHUNK} AS INT) AS first_chunk,
+           CAST(greatest(end_tok - 1, end_tok - n_tokens) // {_PACK_CHUNK} AS INT)
+             AS last_chunk
+    FROM c ORDER BY doc_id
+    """
+
+
 _REP_TOP_N = 2  # top-gram width for the repetition signals
 _REP_DUP_N = 5  # duplicate-gram width
 
@@ -2756,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_bm25": q_text_bm25,
         "text_tfidf": q_text_tfidf,
+        "text_pack": q_text_pack,
         "text_pii": q_text_pii,
         "text_contamination": q_text_contamination,
         "text_sample": q_text_sample,
@@ -2816,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _sql_lang_id(sf),
         "text_bm25": _sql_text_bm25(sf),
         "text_tfidf": _sql_text_tfidf(sf),
+        "text_pack": _sql_text_pack(sf),
         "text_pii": _sql_text_pii(sf),
         "text_contamination": _sql_text_contamination(sf),
         "text_sample": _sql_text_sample(sf),

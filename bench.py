@@ -116,7 +116,7 @@ BENCH_QUERIES = [
     "dedup_simhash", "dedup_simhash_pairs", "dedup_canonical",
     "doc_fingerprint", "ann_cosine_topk", "ann_ivf_search", "ann_kmeans_train",
     "ann_kmeans_pp_train", "ann_quantize", "ann_quantized_recall",
-    "text_quality_score", "text_lang_id", "text_bm25", "text_tfidf",
+    "text_quality_score", "text_lang_id", "text_bm25", "text_tfidf", "text_pack",
     "text_pii", "text_contamination", "text_sample", "text_repetition",
     "text_curation", "text_vocab",
     "multimodal_features", "multimodal_frames",

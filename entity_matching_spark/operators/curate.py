@@ -19,6 +19,9 @@ The filter/select half of the LLM-data story, complementing the dedup family
   is reproducible run-to-run, engine-portable (the DuckDB oracle draws the
   identical sample), and a pure narrow projection+filter at any scale (no
   shuffle, no RNG state, no driver coordination).
+- ``pack_documents``: GPT-style sequence-packing manifest — documents
+  concatenated into md5-sharded token streams and chunked every N
+  tokens; one window cumsum per shard, never a global sort.
 
 No reference analog (graft-brief requirement beyond fmateoc/entity-matching).
 """
@@ -345,4 +348,61 @@ def curation_report(
         "sampled",
         F.concat_ws(",", F.sort_array(reasons)).alias("drop_reasons"),
         ((F.size(reasons) == 0) & F.col("sampled")).alias("kept"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 2048,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence-packing manifest: documents are concatenated into
+    per-shard token streams (deterministic hash shard, md5-ordered within a
+    shard) and chunked every ``chunk_tokens`` — the standard concat-and-chunk
+    packing used to build pretraining batches (documents MAY straddle chunk
+    boundaries; the manifest records exactly where each doc lands).
+
+    Output per doc: (doc_id, shard, n_tokens, start_tok, end_tok,
+    first_chunk, last_chunk) with end_tok exclusive, chunk = tok // chunk_
+    tokens. Zero-token docs occupy no stream space (start == end,
+    first_chunk == last_chunk = the chunk they sit at).
+
+    Scale shape: one window cumsum per shard — the shard count bounds every
+    sort partition (corpus/n_shards docs each), so no global ordering is
+    ever materialized; shard and order are pure md5 functions of the id, so
+    the packing is replayable and engine-reproducible (the DuckDB oracle
+    rebuilds the identical manifest). At 10^12 turns pick n_shards ~ the
+    cluster's reduce width.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    base = docs.select(
+        id_col,
+        toks.alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+        ).cast("int").alias("shard"),
+        h.alias("ord"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col, "shard", "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_tok"),
+        cum.alias("end_tok"),
+    ).select(
+        id_col, "shard", "n_tokens", "start_tok", "end_tok",
+        F.floor(F.col("start_tok") / chunk_tokens).cast("int").alias("first_chunk"),
+        F.floor(
+            F.greatest(F.col("end_tok") - 1, F.col("start_tok")) / chunk_tokens
+        ).cast("int").alias("last_chunk"),
     )

@@ -338,3 +338,43 @@ class TestTfIdf:
         got = [r["term"] for r in tfidf_topk_terms(docs, k=2)
                .where("doc_id = 'd1'").orderBy("rank").collect()]
         assert got == ["alpha", "zeta"]  # equal tfidf -> lexicographic
+
+
+class TestPackDocuments:
+    def test_streams_are_contiguous_and_chunked(self, spark):
+        """Within every shard the doc intervals tile the token stream with no
+        gaps/overlaps in md5 order, and chunk ids are offset//chunk_tokens."""
+        from entity_matching_spark.operators.curate import pack_documents
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(40)],
+            "doc_id int, text string",
+        )
+        rows = pack_documents(docs, chunk_tokens=10, n_shards=3).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert set(by_shard) <= {0, 1, 2} and len(rows) == 40
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r["start_tok"])
+            pos = 0
+            for r in rs:
+                assert r["start_tok"] == pos          # contiguous, no gaps
+                assert r["end_tok"] == pos + r["n_tokens"]
+                assert r["first_chunk"] == r["start_tok"] // 10
+                assert r["last_chunk"] == (r["end_tok"] - 1) // 10
+                pos = r["end_tok"]
+
+    def test_deterministic_and_zero_token_docs(self, spark):
+        from entity_matching_spark.operators.curate import pack_documents
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, ""), (3, "   "), (4, "d e")],
+            "doc_id int, text string",
+        )
+        a = sorted(map(tuple, pack_documents(docs, 4, 2).collect()))
+        b = sorted(map(tuple, pack_documents(docs, 4, 2).collect()))
+        assert a == b
+        z = {r["doc_id"]: r for r in pack_documents(docs, 4, 2).collect()}
+        assert z[2]["n_tokens"] == 0 and z[2]["start_tok"] == z[2]["end_tok"]
+        assert z[2]["first_chunk"] == z[2]["last_chunk"]
