@@ -186,6 +186,8 @@ def run_profile(
     sample_rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
     vocab_k: int = 100,
+    pack_chunk_tokens: int = 2048,
+    pack_shards: int = 16,
     config: MatchConfig | None = None,
     resume: bool = True,
     input_fingerprint: str = "",
@@ -203,9 +205,13 @@ def run_profile(
       curation_report): quality + repetition + contamination against the
       optional ``benchmark`` documents table (no benchmark -> contamination
       0) + minhash-verified near-dup clustering + deterministic stratified
-      sampling (``default_rate=1.0`` keeps everything unless rates are set).
+      sampling (``default_rate=1.0`` keeps everything unless rates are set);
+    - ``p4_packing``: the GPT-style sequence-packing manifest
+      (operators/curate.pack_documents) over the KEPT documents — where each
+      surviving doc lands in the md5-sharded concat-and-chunk token streams.
 
-    Returns {"documents", "vocab", "curation": DataFrame, "metrics": [...]}.
+    Returns {"documents", "vocab", "curation", "packing": DataFrame,
+    "metrics": [...]}.
     """
     from ..operators.curate import curation_report
     from ..operators.dedup import minhash_verified_pairs
@@ -221,6 +227,7 @@ def run_profile(
                 "rates": sample_rates,
                 "default_rate": default_rate,
                 "vocab_k": vocab_k,
+                "pack": [pack_chunk_tokens, pack_shards],
                 "has_benchmark": benchmark is not None,
             },
             sort_keys=True,
@@ -270,10 +277,22 @@ def run_profile(
         )
 
     curation = stage("p3_curation", ["p1_documents"], build_curation)
-    profile_stages = {"p1_documents", "p2_vocab", "p3_curation"}
+
+    def build_packing():
+        from ..operators.curate import pack_documents
+
+        kept = docs.join(
+            curation.where(F.col("kept")).select("doc_id"), "doc_id", "semi"
+        )
+        return pack_documents(kept, chunk_tokens=pack_chunk_tokens,
+                              n_shards=pack_shards)
+
+    packing = stage("p4_packing", ["p1_documents", "p3_curation"], build_packing)
+    profile_stages = {"p1_documents", "p2_vocab", "p3_curation", "p4_packing"}
     return {
         "documents": docs,
         "vocab": vocab,
         "curation": curation,
+        "packing": packing,
         "metrics": [m for m in ck.metrics() if m["stage"] in profile_stages],
     }

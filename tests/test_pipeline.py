@@ -194,7 +194,7 @@ class TestProfileStages:
         wd = str(tmp_path / "profile")
         prof = run_profile(spark, small_transcripts, wd, vocab_k=25)
         stages = {m["stage"]: m for m in prof["metrics"]}
-        assert set(stages) == {"p1_documents", "p2_vocab", "p3_curation"}
+        assert set(stages) == {"p1_documents", "p2_vocab", "p3_curation", "p4_packing"}
         assert all(m["status"] == "complete" for m in stages.values())
         n_docs = prof["documents"].count()
         assert n_docs == small_transcripts.select("conv_id").distinct().count()
@@ -208,6 +208,13 @@ class TestProfileStages:
         assert cur.where("contamination > 0").count() == 0
         # default_rate=1.0 -> sampling keeps everything
         assert cur.where("NOT sampled").count() == 0
+
+        # packing covers exactly the kept documents, gap-free per shard
+        pk = prof["packing"]
+        n_kept = cur.where("kept").count()
+        assert pk.count() == n_kept
+        assert set(pk.columns) == {"doc_id", "shard", "n_tokens", "start_tok",
+                                   "end_tok", "first_chunk", "last_chunk"}
 
         # resume: manifests unchanged (same mtimes => stages not rebuilt)
         mtimes = {
@@ -242,6 +249,6 @@ class TestProfileStages:
         assert "profile" in summary
         assert summary["profile"]["vocab_rows"] == 10
         assert {s["stage"] for s in summary["profile"]["stages"]} == {
-            "p1_documents", "p2_vocab", "p3_curation"
+            "p1_documents", "p2_vocab", "p3_curation", "p4_packing"
         }
         assert os.path.exists(os.path.join(out, "profile", "p3_curation_manifest.json"))
