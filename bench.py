@@ -110,13 +110,15 @@ def run_er_pipeline(spark, n_families: int, transcripts=None) -> dict:
 # testdata queries benchmarked per round (subset of __spark_entry__.queries())
 BENCH_QUERIES = [
     "em_assemble", "em_extract_identifiers", "em_normalize_names",
-    "em_jaro_winkler", "em_levenshtein", "em_sorted_neighborhood",
+    "em_similarity", "em_sorted_neighborhood",
     "em_top_k", "em_connected_components", "em_catalog_match",
-    "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_token_jaccard",
+    "dedup_minhash_verified", "dedup_token_jaccard",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_canonical",
+    "dedup_substring",
     "doc_fingerprint", "ann_cosine_topk", "ann_ivf_search", "ann_kmeans_train",
-    "ann_kmeans_pp_train", "ann_quantize", "ann_quantized_recall",
-    "text_quality_score", "text_lang_id", "text_bm25", "text_tfidf", "text_pack",
+    "ann_ivf_recall_pp", "ann_quantized_recall",
+    "text_quality_score", "text_lang_id", "text_bm25", "text_bm25_table",
+    "text_tfidf", "text_pack",
     "text_pii", "text_contamination", "text_sample", "text_repetition",
     "text_curation", "text_vocab",
     "multimodal_features", "multimodal_frames",

@@ -376,8 +376,16 @@ def pack_documents(
     the packing is replayable and engine-reproducible (the DuckDB oracle
     rebuilds the identical manifest). At 10^12 turns pick n_shards ~ the
     cluster's reduce width.
+
+    NULL text counts as zero tokens (coalesced before tokenizing): without
+    the coalesce, non-ANSI Spark's ``size(NULL)`` = -1 would run the shard
+    cumsum BACKWARDS and corrupt every later doc's start/end offsets.
     """
-    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+        )
+    )
     h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     base = docs.select(
         id_col,

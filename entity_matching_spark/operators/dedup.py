@@ -642,6 +642,11 @@ def fingerprints(
     the doc's own window positions — identical bytes to the earlier
     explode-one-row-per-stride + groupBy-min (min over strings is
     order-free), with the corpus-wide (doc, window-hash) shuffle removed.
+
+    NULL text yields NO row (same contract as the original explode
+    formulation, where a NULL window sequence generated nothing): the
+    per-row fold would otherwise emit a join-inert NULL fingerprint and
+    silently change downstream row counts.
     """
     pos = F.sequence(
         F.lit(1), F.greatest(F.length(text_col) - (window - 1), F.lit(1)), F.lit(stride)
@@ -649,4 +654,133 @@ def fingerprints(
     fp = F.array_min(
         F.transform(pos, lambda p: F.md5(F.col(text_col).substr(p, F.lit(window))))
     )
-    return docs.select(id_col, fp.alias("fingerprint"))
+    return docs.select(id_col, fp.alias("fingerprint")).where(
+        F.col("fingerprint").isNotNull()
+    )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    k: int = 16,
+    mod_p: int = 4,
+    max_gap: int = 64,
+    min_grams: int = 2,
+    max_docs_per_gram: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Substring-level exact dedup (the suffix-array-style "deduplicating
+    training data" recipe re-expressed as bucketed fingerprints): finds
+    byte-identical substrings REPEATED ACROSS documents and returns their
+    character spans — the duplication token-level Jaccard can't see (two
+    documents sharing one long boilerplate sentence amid otherwise different
+    text score near-zero Jaccard but are exactly what corpus curation must
+    catch).
+
+    Returns ``(spans, dropped_grams)``:
+
+    - ``spans``: (doc_a, doc_b, start_a, start_b, span_len, n_grams) — one
+      row per maximal run of shared ``k``-grams on a (doc_a, doc_b) pair's
+      alignment diagonal; ``start_*`` are 1-based char offsets, ``span_len``
+      covers first-gram start to last-gram end.
+    - ``dropped_grams``: (h, n_docs) — grams shared by more than
+      ``max_docs_per_gram`` documents (corpus-wide boilerplate: headers,
+      license blurbs), EXCLUDED from pairing and returned instead of
+      silently exploding the self-join (same cap-and-report discipline as
+      the token/n-gram families).
+
+    Algorithm (every step engine-portable, so the DuckDB oracle reconstructs
+    it bit-for-bit):
+
+    1. hash every k-gram: h(i) = md5(substr(text, i, k)) — a per-row
+       ``transform`` over the doc's own positions, no shuffle;
+    2. content-defined selection: keep position i iff the first 16 bits of
+       h(i) are ≡ 0 (mod ``mod_p``) — position-INDEPENDENT, so two docs
+       sharing a substring select the same grams inside it regardless of
+       where it sits in each doc (expected density 1/mod_p; a shared
+       substring of L chars yields ~(L-k+1)/mod_p selected matches);
+    3. one selected position per (doc, gram): MIN(pos) — bounds periodic
+       pathologies ("ababab…" has ONE distinct gram, so one row) at the
+       documented cost of merging a doc's internal repeats onto the first
+       occurrence;
+    4. document-frequency cap (step 3 made the count per gram = docs), keep
+       2 <= n_docs <= max_docs_per_gram;
+    5. equi-join on the gram hash -> (doc_a, doc_b, pos_a, pos_b) with
+       doc_a < doc_b;
+    6. span merge: matches from one shared substring share an alignment
+       diagonal (pos_b - pos_a constant); per (pair, diagonal), order by
+       pos_a and split islands where the selection gap exceeds ``max_gap``
+       (selection gaps are ~geometric with mean mod_p); keep islands with
+       >= ``min_grams`` corroborating grams.
+
+    Scale shape: the explode emits only ~len/mod_p selected rows per doc;
+    every shuffle is keyed (gram hash, then pair+diagonal windows bounded by
+    per-pair match counts); the only self-join is df-capped on both sides.
+    No all-pairs anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    npos = F.length(s) - (k - 1)
+    pos_arr = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        pos_arr, lambda p: F.struct(p.alias("pos"), F.md5(s.substr(p, F.lit(k))).alias("h"))
+    )
+    sel = F.filter(
+        grams,
+        lambda g: F.conv(F.substring(g["h"], 1, 4), 16, 10).cast("long") % mod_p == 0,
+    )
+    ex = (
+        docs.select(F.col(id_col), F.explode(sel).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    # one row per (doc, gram): min position (map-side-combinable)
+    g1 = ex.groupBy(id_col, "h").agg(F.min("pos").alias("pos"))
+    dfreq = g1.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dropped = dfreq.where(F.col("n_docs") > max_docs_per_gram)
+    kept_h = dfreq.where(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_docs_per_gram)
+    ).select("h")
+    cand = g1.join(kept_h, "h")
+    a = cand.select(
+        F.col("h"), F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    bb = cand.select(
+        F.col("h"), F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        a.join(bb, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_b") - F.col("pos_a")).alias("diag"),
+        )
+    )
+    wdiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    flagged = pairs.withColumn(
+        "new_island",
+        F.when(F.col("pos_a") - F.lag("pos_a").over(wdiag) > max_gap, 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            wdiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        flagged.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.max("pos_a") + k).alias("_end_a"),
+            F.count("*").alias("n_grams"),
+        )
+        .where(F.col("n_grams") >= min_grams)
+        .select(
+            "doc_a", "doc_b", "start_a",
+            (F.col("start_a") + F.col("diag")).alias("start_b"),
+            (F.col("_end_a") - F.col("start_a")).alias("span_len"),
+            "n_grams",
+        )
+    )
+    return spans, dropped

@@ -14,6 +14,9 @@ shuffle: each is a pure projection, so throughput is the parquet scan):
 - ``bm25_scores``: Lucene-shaped BM25 of every document against a fixed
   query string — per-row tf/dl projections + ONE single-pass corpus
   aggregate broadcast back (the retrieval/triage primitive).
+- ``bm25_scores_table``: the same formula with terms-as-data — a
+  ``(query_id, term)`` table scores N probes in one corpus pass (tokens
+  semi-reduce against the broadcast term vocabulary before any shuffle).
 - ``tfidf_topk_terms``: per-document top-k keyword extraction by tf-idf —
   keyed tf/df aggregates + a per-doc window (the only non-projection ops in
   the module, all map-side-combinable).
@@ -131,7 +134,11 @@ def bm25_scores(
     terms = sorted({t for t in query.split(" ") if t})
     if not terms:
         raise ValueError("bm25_scores: query has no non-empty terms")
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # NULL text = zero-length doc: without the coalesce, size(NULL) = -1
+    # poisons dl and therefore avgdl for the whole corpus
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+    )
 
     def _tf(term: str) -> F.Column:
         # single-argument lambda (a defaulted second param would select the
@@ -165,6 +172,78 @@ def bm25_scores(
         term_score = idf * tf * (k1 + 1) / (tf + F.lit(k1) * norm)
         score = term_score if score is None else score + term_score
     return joined.select(id_col, "dl", F.round(score, round_dp).alias("score"))
+
+
+def bm25_scores_table(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    round_dp: int = 9,
+) -> DataFrame:
+    """(query_id, doc_id, dl, score): BM25 of every document against EVERY
+    query in a ``(query_id, term)`` table — terms-as-data, so N probes score
+    in ONE pass over the corpus (the retrieval-triage shape ``bm25_scores``
+    can't reach: its terms are baked into the plan as fixed columns).
+
+    Same Lucene-shaped formula as ``bm25_scores`` (terms are a SET per
+    query; df/N/avgdl come from the full corpus), and agrees with it exactly
+    on a one-query table — restricted to documents with >= 1 matching term,
+    the only rows this operator emits (every emitted score is > 0, every
+    omitted one would be 0, so nothing is lost; emitting all (query, doc)
+    pairs would be a cross join at scale).
+
+    Scale shape: the corpus is scanned once into (doc, dl) + exploded
+    tokens; tokens semi-reduce against the broadcast distinct-term
+    vocabulary BEFORE any shuffle, so the only data-sized exchanges carry
+    matching tokens: one map-side-combined (doc, term) tf groupBy, one
+    vocabulary-sized df groupBy, term-keyed joins back to the (probe-sized,
+    broadcast) query table, and the final (query, doc) sum. The query table
+    is model-sized by contract (probes, not data) — hence the explicit
+    broadcasts.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+    )
+    qt = (
+        queries.where(F.col(term_col).isNotNull() & (F.col(term_col) != ""))
+        .select(F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term"))
+        .distinct()
+    )
+    vocab = qt.select("term").distinct()
+    tokens = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    # semi-reduce first: non-matching tokens never reach a shuffle
+    tf = (
+        tokens.join(F.broadcast(vocab), "term")
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf rows are one-per-(doc, term), so a plain count IS the doc frequency
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(1.0) - b + F.lit(b) * F.col("dl") / avgdl
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf") * (k1 + 1) / (F.col("tf") + F.lit(k1) * norm)
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", id_col, "dl", term_score.alias("ts"))
+        .groupBy("query_id", id_col, "dl")
+        .agg(F.round(F.sum("ts"), round_dp).alias("score"))
+        .select("query_id", id_col, "dl", "score")
+    )
 
 
 def tfidf_topk_terms(

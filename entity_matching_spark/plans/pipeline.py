@@ -219,6 +219,17 @@ def run_profile(
 
     cfg = config or DEFAULT_CONFIG
     ck = StageCheckpointer(work_dir, run_id=cfg.params_hash())
+    # the benchmark table joins the hash by CONTENT (row count + order-free
+    # xxhash64 sum), not by presence: with resume=True a changed benchmark
+    # must invalidate p3_curation/p4_packing, not silently reuse them
+    if benchmark is None:
+        bench_fp = None
+    else:
+        brow = benchmark.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*benchmark.columns)).alias("x"),
+        ).first()
+        bench_fp = f"{brow['n']}:{brow['x']}"
     # profile knobs join the params hash so changed rates/k/benchmark rebuild
     h = hashlib.sha256(
         json.dumps(
@@ -228,7 +239,7 @@ def run_profile(
                 "default_rate": default_rate,
                 "vocab_k": vocab_k,
                 "pack": [pack_chunk_tokens, pack_shards],
-                "has_benchmark": benchmark is not None,
+                "benchmark": bench_fp,
             },
             sort_keys=True,
         ).encode()

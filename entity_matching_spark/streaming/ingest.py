@@ -196,14 +196,38 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Single-file text write through the Hadoop FS (scheme-agnostic, and a
-    one-file create is the atomic cutover primitive compaction relies on)."""
+    """Single-file text write through the Hadoop FS (scheme-agnostic).
+    NOT atomic on its own — a crash mid-write leaves a zero/partial file.
+    Pointer files that readers follow go through ``_fs_write_text_atomic``.
+    """
     fs, hpath, _ = _fs(spark, path)
     out = fs.create(hpath, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def _fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Crash-safe single-file replace: write ``<path>.tmp`` fully, then
+    rename over the target (rename IS the atomic primitive on HDFS/posix).
+    Where the FS refuses rename-onto-existing (HDFS ``FileSystem.rename``
+    returns false if the destination exists), delete-then-rename is used;
+    that leaves a brief missing-pointer window but NEVER a partial file —
+    and ``_compaction_manifest`` recovers a missing/corrupt pointer from the
+    per-directory ``_COMPACTION.json`` copies, so both failure modes heal.
+    """
+    fs, hpath, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, hpath):
+        fs.delete(hpath, False)
+        if not fs.rename(tmp, hpath):
+            raise IOError(f"atomic rename failed for {path}")
 
 
 def _fs_read_text(spark: SparkSession, path: str) -> str:
@@ -236,13 +260,76 @@ def _has_batches(spark: SparkSession, path: str) -> bool:
 
 
 def _compaction_manifest(spark: SparkSession, comp_base: str) -> dict | None:
-    """The committed compaction pointer, or None if never compacted."""
+    """The committed compaction pointer, or None if never compacted.
+
+    Recovery: if the pointer file is missing or unparsable (a pre-atomic
+    writer died mid-cutover, or the delete-then-rename fallback crashed in
+    its window), fall back to the newest ``h=*`` directory that carries a
+    valid per-directory ``_COMPACTION.json`` copy — that inner manifest is
+    written only AFTER the directory's parquet completes, so its presence
+    certifies a complete compaction. Only when no such directory exists is
+    the corpus treated as never-compacted."""
     import json
 
     path = f"{comp_base}/MANIFEST.json"
-    if not _fs_exists(spark, path):
+    if _fs_exists(spark, path):
+        try:
+            return json.loads(_fs_read_text(spark, path))
+        except Exception:
+            # zero/partial/checksum-corrupt pointer: recover from the inner
+            # copies (any unreadable pointer state resolves the same way)
+            pass
+    fs, base, _ = _fs(spark, comp_base)
+    if not fs.exists(base):
         return None
-    return json.loads(_fs_read_text(spark, path))
+    best: dict | None = None
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith("h="):
+            continue
+        inner = f"{comp_base}/{name}/_COMPACTION.json"
+        if not _fs_exists(spark, inner):
+            continue
+        try:
+            man = json.loads(_fs_read_text(spark, inner))
+        except ValueError:
+            continue
+        if best is None or man["h"] > best["h"]:
+            best = man
+    return best
+
+
+def _checkpoint_batch_ids(spark: SparkSession, log_dir: str) -> set[int]:
+    """Batch ids recorded in a structured-streaming checkpoint log dir
+    (offsets/ or commits/): integer-named files, metadata ignored."""
+    fs, hpath, _ = _fs(spark, log_dir)
+    if not fs.exists(hpath):
+        return set()
+    ids: set[int] = set()
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        try:
+            ids.add(int(name))
+        except ValueError:
+            continue
+    return ids
+
+
+def _assert_stream_quiesced(spark: SparkSession, work_dir: str) -> None:
+    """Refuse to compact over an in-flight micro-batch: an offsets entry
+    without a matching commits entry means the ingest stream died (or is
+    still running) mid-batch — its raw partition may be partial, and its
+    replay after compaction would violate the high-water-mark contract."""
+    ck = f"{work_dir}/_stream_checkpoint"
+    inflight = _checkpoint_batch_ids(spark, f"{ck}/offsets") - _checkpoint_batch_ids(
+        spark, f"{ck}/commits"
+    )
+    if inflight:
+        raise RuntimeError(
+            f"compact_corpus: in-flight/uncommitted micro-batch(es) "
+            f"{sorted(inflight)} in {ck} — stop the stream and let it "
+            f"finish (or reset the checkpoint) before compacting"
+        )
 
 
 def compact_corpus(
@@ -270,12 +357,20 @@ def compact_corpus(
 
     MUST run while the ingest stream is STOPPED (after a clean availableNow
     completion): the high-water mark assumes every raw ``batch_id`` it
-    absorbs is committed. ``prune_raw=True`` additionally deletes the
-    absorbed raw batch partitions and the superseded compacted directory.
+    absorbs is committed. ENFORCED, not just documented: the streaming
+    checkpoint's offsets/commits logs are compared and an in-flight batch
+    (offset written, commit missing) raises before any data moves; the
+    replay side is guarded in ``incremental_match``'s process_batch, which
+    refuses a ``batch_id <= h`` (a batch already absorbed by compaction —
+    reprocessing it would cross-pair the batch against its own compacted
+    copy). ``prune_raw=True`` additionally deletes the absorbed raw batch
+    partitions and the superseded compacted directory.
 
     Returns per-table stats ({table: {"h": ..., "rows": ...}}).
     """
     import json
+
+    _assert_stream_quiesced(spark, work_dir)
 
     stats: dict = {}
     plans: list[tuple[str, str, int, object]] = []
@@ -323,7 +418,10 @@ def compact_corpus(
                 .parquet(out_dir)
             )
             manifest = {"h": int(new_high), "n_buckets": n_buckets, "key": key_col}
-        _fs_write_text(spark, f"{comp_base}/MANIFEST.json", json.dumps(manifest))
+        # commit order: (1) inner copy inside the completed directory — the
+        # recovery anchor; (2) atomic pointer cutover readers follow
+        _fs_write_text(spark, f"{out_dir}/_COMPACTION.json", json.dumps(manifest))
+        _fs_write_text_atomic(spark, f"{comp_base}/MANIFEST.json", json.dumps(manifest))
         stats[table] = {"h": int(new_high),
                         "rows": spark.read.parquet(out_dir).count()}
         plans.append((raw, comp_base, int(new_high), prev))
@@ -472,6 +570,22 @@ def incremental_match(
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
+        # Replay-vs-compaction guard: a batch_id at or below any compaction
+        # high-water mark was already ABSORBED into the compacted corpus
+        # (its batch_id column is gone), so the exclude_batch filter cannot
+        # keep it from cross-pairing against its own copy. This only occurs
+        # when the streaming checkpoint was reset against an existing
+        # work_dir — fail loud instead of silently double-matching.
+        for table in ("keys", "records", "key_counts"):
+            man = _compaction_manifest(spark, f"{work_dir}/{table}_compacted")
+            if man is not None and batch_id <= man["h"]:
+                raise RuntimeError(
+                    f"incremental_match: batch_id={batch_id} is at or below "
+                    f"the {table} compaction high-water mark h={man['h']} — "
+                    f"this batch was already absorbed by compact_corpus; "
+                    f"replaying it would duplicate matches. Use a fresh "
+                    f"work_dir or keep the original stream checkpoint."
+                )
         batch_records = build_records(batch_df, cfg).localCheckpoint()
         batch_keys = generate_blocking_keys(batch_records, cfg).localCheckpoint()
         # this batch's clean-name-key delta counts (I13 state increment)

@@ -308,6 +308,66 @@ class TestBM25:
         with _pytest.raises(ValueError, match="no non-empty terms"):
             bm25_scores(docs, "   ")
 
+    def test_null_text_is_zero_length_doc(self, spark):
+        """NULL text must contribute dl=0, not size(NULL)=-1 — a -1 dl would
+        poison avgdl (and thus every document's score) corpus-wide."""
+        from entity_matching_spark.operators.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [("d1", "hash join hash"), ("d2", "full scan"), ("d3", None)],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"]: r for r in bm25_scores(docs, "hash scan").collect()}
+        assert got["d3"]["dl"] == 0 and got["d3"]["score"] == 0.0
+        assert got["d1"]["dl"] == 3 and got["d2"]["dl"] == 2
+
+    def test_query_table_agrees_with_literal_on_one_query(self, spark):
+        """bm25_scores_table on a 1-query table == bm25_scores on the same
+        query string, restricted to docs with >= 1 matching term (the only
+        rows the table variant emits; every omitted literal score is 0)."""
+        from entity_matching_spark.operators.text import bm25_scores, bm25_scores_table
+
+        docs = spark.createDataFrame(
+            [("d1", "hash join hash order by key"), ("d2", "full table scan order"),
+             ("d3", "nothing relevant here"), ("d4", None), ("d5", "join join join")],
+            "doc_id string, text string",
+        )
+        query = "hash join order"
+        # duplicate term rows must dedup (terms are a SET per query)
+        qt = spark.createDataFrame(
+            [("q1", t) for t in query.split()] + [("q1", "join")],
+            "query_id string, term string",
+        )
+        lit = {r["doc_id"]: r for r in bm25_scores(docs, query).collect()}
+        tab = {r["doc_id"]: r for r in bm25_scores_table(docs, qt).collect()}
+        assert set(tab) == {d for d, r in lit.items() if r["score"] > 0}
+        for d, r in tab.items():
+            assert r["query_id"] == "q1"
+            assert r["dl"] == lit[d]["dl"] and r["score"] == lit[d]["score"]
+
+    def test_query_table_multi_query_independent_scores(self, spark):
+        """N probes in one pass: each query_id's scores equal that query run
+        alone (corpus stats are query-independent), and a query whose terms
+        miss the corpus contributes no rows."""
+        from entity_matching_spark.operators.text import bm25_scores, bm25_scores_table
+
+        docs = spark.createDataFrame(
+            [("d1", "hash join order"), ("d2", "table scan big table"),
+             ("d3", "window agg sort window")],
+            "doc_id string, text string",
+        )
+        probes = {"qa": "hash order", "qb": "table window", "qc": "missing terms"}
+        qt = spark.createDataFrame(
+            [(q, t) for q, s in probes.items() for t in s.split()],
+            "query_id string, term string",
+        )
+        got = bm25_scores_table(docs, qt).collect()
+        assert {r["query_id"] for r in got} == {"qa", "qb"}
+        for qid, s in [("qa", probes["qa"]), ("qb", probes["qb"])]:
+            lit = {r["doc_id"]: r["score"] for r in bm25_scores(docs, s).collect()}
+            sub = {r["doc_id"]: r["score"] for r in got if r["query_id"] == qid}
+            assert sub == {d: v for d, v in lit.items() if v > 0}
+
 
 class TestTfIdf:
     def test_hand_computed(self, spark):
@@ -369,7 +429,7 @@ class TestPackDocuments:
         from entity_matching_spark.operators.curate import pack_documents
 
         docs = spark.createDataFrame(
-            [(1, "a b c"), (2, ""), (3, "   "), (4, "d e")],
+            [(1, "a b c"), (2, ""), (3, "   "), (4, "d e"), (5, None)],
             "doc_id int, text string",
         )
         a = sorted(map(tuple, pack_documents(docs, 4, 2).collect()))
@@ -378,3 +438,9 @@ class TestPackDocuments:
         z = {r["doc_id"]: r for r in pack_documents(docs, 4, 2).collect()}
         assert z[2]["n_tokens"] == 0 and z[2]["start_tok"] == z[2]["end_tok"]
         assert z[2]["first_chunk"] == z[2]["last_chunk"]
+        # NULL text = zero tokens (never size(NULL) = -1, which would run
+        # the shard cumsum backwards and corrupt every later offset)
+        assert z[5]["n_tokens"] == 0 and z[5]["start_tok"] == z[5]["end_tok"]
+        for r in z.values():
+            assert r["n_tokens"] >= 0 and r["start_tok"] >= 0
+            assert r["end_tok"] >= r["start_tok"]

@@ -181,6 +181,111 @@ class TestDedup:
         assert fp[1] == fp[2] == fp[5]
         assert fp[1] != fp[4]
 
+    def test_fingerprints_null_text_emits_no_row(self, spark):
+        """Same contract as the original explode formulation: a NULL text
+        contributes nothing (no join-inert NULL-fingerprint row)."""
+        from entity_matching_spark.operators.dedup import fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "some real document text here"), (2, None)],
+            "doc_id int, text string",
+        )
+        rows = fingerprints(docs).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["fingerprint"] is not None
+
+
+class TestSubstringDedup:
+    SHARED = ("the quick brown fox jumps over the lazy dog while seventeen "
+              "violinists rehearse a brand new concerto in the old cathedral")
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta " + self.SHARED + " epsilon zeta"),
+                (2, "completely different words lead in here " + self.SHARED
+                    + " and then diverge again entirely afterwards"),
+                (3, "zebra yankee xray whiskey victor uniform tango sierra "
+                    "romeo quebec papa oscar november mike lima kilo juliett"),
+                (4, None),
+            ],
+            "doc_id int, text string",
+        )
+
+    def test_planted_shared_substring_found_with_correct_span(self, spark):
+        """Two docs share one long sentence amid otherwise different text —
+        exactly the duplication token-level Jaccard misses (below)."""
+        from entity_matching_spark.operators.dedup import substring_duplicate_spans
+
+        docs = self._docs(spark)
+        spans, dropped = substring_duplicate_spans(docs, k=16, mod_p=4)
+        rows = spans.collect()
+        assert dropped.count() == 0
+        assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+        r = rows[0]
+        # the reported span must sit INSIDE the planted region of each doc
+        # and cover most of it (content-defined selection trims the ends by
+        # up to ~mod_p grams on each side)
+        a_text, b_text = [x["text"] for x in docs.orderBy("doc_id").collect()[:2]]
+        off_a, off_b = a_text.index(self.SHARED) + 1, b_text.index(self.SHARED) + 1
+        # the span overlaps the planted region and covers most of it (the
+        # match may lawfully run a byte or two past the plant — both docs
+        # continue with a space — and selection trims the ends)
+        assert r["start_a"] >= off_a - 16 and r["start_a"] <= off_a + 64
+        assert r["start_b"] >= off_b - 16 and r["start_b"] <= off_b + 64
+        assert r["span_len"] >= int(0.6 * len(self.SHARED))
+        # the extracted substrings are byte-identical: the EXACT claim
+        assert (a_text[r["start_a"] - 1:r["start_a"] - 1 + r["span_len"]]
+                == b_text[r["start_b"] - 1:r["start_b"] - 1 + r["span_len"]])
+        assert r["n_grams"] >= 2
+
+    def test_token_jaccard_misses_what_substring_dedup_catches(self, spark):
+        """The planted pair sits BELOW the near-dup family's 0.5 Jaccard bar
+        (long docs, one shared sentence) — substring dedup is additive
+        coverage, not a rename of an existing operator."""
+        from entity_matching_spark.operators.dedup import (
+            substring_duplicate_spans, token_jaccard_pairs,
+        )
+
+        filler_a = " ".join(f"worda{i}" for i in range(120))
+        filler_b = " ".join(f"wordb{i}" for i in range(120))
+        docs = spark.createDataFrame(
+            [(1, filler_a + " " + self.SHARED, "src"),
+             (2, filler_b + " " + self.SHARED, "src")],
+            "doc_id int, text string, source string",
+        )
+        jac, _ = token_jaccard_pairs(docs, threshold=0.5)
+        assert jac.count() == 0
+        spans, _ = substring_duplicate_spans(docs, k=16, mod_p=4)
+        assert spans.count() >= 1
+
+    def test_boilerplate_cap_reports_dropped_grams(self, spark):
+        """A gram shared by more docs than the cap is excluded from pairing
+        and surfaced in the dropped report — never a silent hot-key join."""
+        from entity_matching_spark.operators.dedup import substring_duplicate_spans
+
+        boiler = "standard license header text that every file carries along"
+        docs = spark.createDataFrame(
+            [(i, f"unique lead {i} " + boiler) for i in range(8)],
+            "doc_id int, text string",
+        )
+        spans, dropped = substring_duplicate_spans(
+            docs, k=16, mod_p=2, max_docs_per_gram=4
+        )
+        assert dropped.count() > 0
+        assert all(r["n_docs"] > 4 for r in dropped.collect())
+        assert spans.count() == 0  # every shared gram is above the cap
+
+    def test_null_and_short_texts_contribute_nothing(self, spark):
+        from entity_matching_spark.operators.dedup import substring_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "short"), (3, "short")],
+            "doc_id int, text string",
+        )
+        spans, dropped = substring_duplicate_spans(docs, k=16, mod_p=2)
+        assert spans.count() == 0 and dropped.count() == 0
+
 
 class TestTextOps:
     def test_token_stats(self, spark):

@@ -229,6 +229,30 @@ class TestProfileStages:
         assert mtimes == mtimes2
         assert prof2["curation"].count() == n_docs
 
+    def test_changed_benchmark_invalidates_resume(self, spark, small_transcripts, tmp_path):
+        """The benchmark table joins the profile hash by CONTENT: with
+        resume=True, swapping the benchmark must rebuild p3_curation against
+        the new table, never silently reuse the stale checkpoint."""
+        from entity_matching_spark.plans.pipeline import run_profile
+
+        wd = str(tmp_path / "profile_bm")
+        prof0 = run_profile(spark, small_transcripts, wd, vocab_k=10)
+        # collect NOW: later runs rewrite the p1 parquet this frame reads
+        row = prof0["documents"].select("doc_id", "text").first()
+        # benchmark 1: disjoint from the corpus -> contamination never fires
+        b1 = spark.createDataFrame(
+            [("bm1", "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg")],
+            "doc_id string, text string",
+        )
+        prof1 = run_profile(spark, small_transcripts, wd, vocab_k=10, benchmark=b1)
+        assert prof1["curation"].where("contamination > 0").count() == 0
+        # benchmark 2 (same schema, same row count, different CONTENT):
+        # contains a real corpus document -> contamination must now fire
+        b2 = spark.createDataFrame([(row["doc_id"], row["text"])],
+                                   "doc_id string, text string")
+        prof2 = run_profile(spark, small_transcripts, wd, vocab_k=10, benchmark=b2)
+        assert prof2["curation"].where("contamination > 0").count() > 0
+
     def test_profile_cli_flag(self, spark, tmp_path):
         """jobs/run_pipeline.py --profile emits the profile summary block and
         the stage manifests under <out>/profile."""

@@ -132,6 +132,29 @@ class TestDedupPlans:
         assert n_generate == 1, f"expected ONE token explode, got {n_generate}:\n{plan}"
         assert "sequence(0, 59" not in plan, f"per-bit explode crept back:\n{plan}"
 
+    def test_quantize_zero_shuffle_against_broadcast_model(self, spark, tmp_path):
+        # scalar quantization is a zip_with projection against the one-row
+        # min/max model: the MODEL build pays a per-dimension skinny shuffle
+        # once (posexplode + groupBy(pos)), but the corpus side must stay a
+        # pure projection — never hash-partitioned, joined only through ONE
+        # BroadcastExchange of the collapsed model row
+        from entity_matching_spark.operators.ann import (
+            quantization_model, quantize_embeddings,
+        )
+
+        p = str(tmp_path / "emb.parquet")
+        spark.createDataFrame(
+            [(i, [float((i * 5 + d) % 7) for d in range(8)]) for i in range(50)],
+            "vec_id int, embedding array<double>",
+        ).write.parquet(p)
+        e = spark.read.parquet(p)
+        plan = _executed_plan(quantize_embeddings(e, quantization_model(e)))
+        assert "hashpartitioning(vec_id" not in plan, plan
+        assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1, plan
+        # model-side shuffles are dimension-keyed, never corpus-row-keyed
+        for key in re.findall(r"hashpartitioning\((\w+)", plan):
+            assert key == "pos", plan
+
     def test_fingerprints_zero_shuffle_zero_generate(self, spark, tmp_path):
         # round 4: the winnowing fingerprint is a per-row array_min fold —
         # no explode-per-stride (Generate) and no groupBy (Exchange)

@@ -598,3 +598,92 @@ class TestCompactCorpusCLI:
         assert rc == 0
         assert not globmod.glob(wd + "/keys/batch_id=*")
         assert json.load(open(wd + "/keys_compacted/MANIFEST.json"))["n_buckets"] == 4
+
+
+class TestCompactionSafety:
+    """Round-5 safety contracts: atomic manifest cutover with recovery, the
+    stream-quiesced precondition, and the absorbed-batch replay refusal."""
+
+    def _one_batch_workdir(self, spark, tmp_path, name):
+        import datetime as dt
+        import glob as globmod
+        import shutil
+
+        from entity_matching_spark.streaming.ingest import incremental_match
+
+        ddl = ("conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp")
+        t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+        in_dir = tmp_path / f"{name}_in"
+        in_dir.mkdir()
+        stage = str(tmp_path / f"{name}_stage")
+        blurb = "Legal Name: Cedar Bend LLC\nMEI: US00000011"
+        spark.createDataFrame(
+            [("c1", 0, "user", blurb, None, t0),
+             ("c2", 0, "user", blurb, None, t0)], ddl,
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(globmod.glob(stage + "/part-*.parquet")[0],
+                    str(in_dir / "b1.parquet"))
+        wd = str(tmp_path / f"{name}_work")
+        q = incremental_match(spark, str(in_dir), wd, max_files_per_trigger=1)
+        q.awaitTermination(240)
+        return str(in_dir), wd
+
+    def test_manifest_recovery_from_corrupt_pointer(self, spark, tmp_path):
+        """A zero/partial MANIFEST.json (crash mid-cutover with a non-atomic
+        writer) must not poison corpus reads: _compaction_manifest recovers
+        the committed compaction from the per-directory _COMPACTION.json."""
+        from entity_matching_spark.streaming.ingest import (
+            _compaction_manifest, _read_corpus_table, compact_corpus,
+        )
+
+        _, wd = self._one_batch_workdir(spark, tmp_path, "rec")
+        compact_corpus(spark, wd, n_buckets=4, prune_raw=True)
+        good = _compaction_manifest(spark, wd + "/keys_compacted")
+        n = _read_corpus_table(spark, wd, "keys", exclude_batch=-1).count()
+
+        # partial write (truncated json), then a fully missing pointer
+        with open(wd + "/keys_compacted/MANIFEST.json", "w") as f:
+            f.write('{"h": ')
+        assert _compaction_manifest(spark, wd + "/keys_compacted") == good
+        import os
+
+        os.remove(wd + "/keys_compacted/MANIFEST.json")
+        assert _compaction_manifest(spark, wd + "/keys_compacted") == good
+        assert _read_corpus_table(spark, wd, "keys", exclude_batch=-1).count() == n
+
+    def test_compact_refuses_inflight_batch(self, spark, tmp_path):
+        """An offsets entry without a matching commit = a micro-batch died
+        mid-flight; compacting over it would absorb a partial partition."""
+        import os
+
+        import pytest
+
+        from entity_matching_spark.streaming.ingest import compact_corpus
+
+        _, wd = self._one_batch_workdir(spark, tmp_path, "inflight")
+        os.makedirs(wd + "/_stream_checkpoint/offsets", exist_ok=True)
+        with open(wd + "/_stream_checkpoint/offsets/1", "w") as f:
+            f.write("v1\n{}")
+        with pytest.raises(RuntimeError, match="in-flight"):
+            compact_corpus(spark, wd, n_buckets=4)
+
+    def test_replayed_absorbed_batch_refused(self, spark, tmp_path):
+        """A checkpoint reset against a compacted work_dir replays batch ids
+        the compaction already absorbed; process_batch must fail loud
+        instead of cross-pairing the batch against its own compacted copy."""
+        import shutil
+
+        import pytest
+
+        from entity_matching_spark.streaming.ingest import (
+            compact_corpus, incremental_match,
+        )
+
+        in_dir, wd = self._one_batch_workdir(spark, tmp_path, "replay")
+        compact_corpus(spark, wd, n_buckets=4, prune_raw=True)
+        shutil.rmtree(wd + "/_stream_checkpoint")  # the forbidden reset
+        q = incremental_match(spark, in_dir, wd, max_files_per_trigger=1)
+        with pytest.raises(Exception, match="absorbed by compact_corpus"):
+            q.awaitTermination(240)
+            raise AssertionError("replayed absorbed batch was not refused")
