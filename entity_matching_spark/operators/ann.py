@@ -266,9 +266,12 @@ def kmeans_centroids(
 
     - ASSIGN: |V| x k cosine scan against the broadcast centroids (reuses
       ``assign_cells`` — no shuffle until the argmax window on vec_id);
-    - UPDATE: posexplode + groupBy (centroid_id, dim) mean — one shuffle of
-      |V| x dims skinny rows per iteration; empty cells keep their previous
-      centroid.
+    - UPDATE (round 5): groupBy(centroid_id) with per-dimension native SUM
+      columns + one count, divided once — map-side combined, so the shuffle
+      carries one dims-wide row per (centroid, map partition) instead of the
+      previous posexplode's |V| x dims skinny rows. The embedding dimension
+      is read from one row up front (fixed-dims corpus by contract); empty
+      cells keep their previous centroid.
 
     Determinism pin: BOTH inits are RNG-free and every updated centroid
     coordinate is rounded to ``round_dp`` decimals — float summation order
@@ -301,24 +304,30 @@ def kmeans_centroids(
         )
     else:
         raise ValueError(f"kmeans_centroids: unknown init {init!r} (first|kpp)")
+    first = vectors.select(F.size(_emb(emb_col)).alias("d")).limit(1).collect()
+    n_dims = first[0]["d"] if first else 0
     for _ in range(n_iter):
         assign = assign_cells(
             vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")),
             cents,
         )
-        dims = (
+        sums = (
             assign.join(
                 vectors.select(F.col(id_col).alias("vec_id"), _emb(emb_col).alias("e")),
                 "vec_id",
             )
-            .select("centroid_id", F.posexplode("e").alias("pos", "v"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.round(F.avg("v"), round_dp).alias("v"))
+            .where(F.col("e").isNotNull())
+            .groupBy("centroid_id")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(n_dims)],
+            )
         )
-        updated = dims.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-            ).alias("cemb")
+        updated = sums.select(
+            "centroid_id",
+            F.array(
+                *[F.round(F.col(f"s{i}") / F.col("n"), round_dp) for i in range(n_dims)]
+            ).alias("cemb"),
         )
         cents = (
             cents.select("centroid_id", F.col("cemb").alias("prev"))

@@ -15,6 +15,15 @@ Resume contract: a stage is skipped iff its manifest exists AND the recorded
 upstream stage) invalidates downstream checkpoints automatically, while a
 crashed run restarts at the first missing stage.
 
+Lineage is SINGLE-PASS (round 5): the row count and the order-independent
+content hash ride the WRITE itself as ``df.observe()`` metrics (a
+CollectMetrics node over the write-side plan), so a stage is scanned exactly
+once — at 100 TB the previous read-back-to-fingerprint doubled every stage's
+read I/O. The re-read survives only as the opt-in ``audit_lineage`` mode,
+which recomputes the fingerprint from the materialized files, CROSS-CHECKS
+it against the observed one (fail-loud on torn/partial output), and adds the
+per-partition hash breakdown to the manifest.
+
 The reference has no analog (single-shot CLI, per-document try/catch,
 orchestrator/EntityMatchingOrchestrator.java:140-187); at 10^12-turn scale
 every stage must be independently resumable.
@@ -26,9 +35,20 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 MANIFEST_NAME = "_manifest.json"
+
+
+def _row_hash(columns: list[str]) -> F.Column:
+    """Order-independent per-row digest: xxhash64 over the SORTED column
+    list (sorted so the pre-write plan and a post-write re-read — where
+    ``partitionBy`` columns move to the end of the schema — hash the same
+    bytes), summed in decimal so the total cannot overflow under ANSI mode.
+    Makes the manifest fingerprint CONTENT-sensitive: a same-cardinality,
+    same-schema recompute with different values still invalidates downstream
+    checkpoints (plans/pipeline._fingerprint includes it)."""
+    return F.xxhash64(*sorted(columns)).cast("decimal(25,0)")
 
 
 class StageCheckpointer:
@@ -37,12 +57,12 @@ class StageCheckpointer:
         base_dir: str,
         run_id: str = "run",
         table_format: str = "parquet",
-        compute_partition_lineage: bool = True,
+        audit_lineage: bool = False,
     ):
         self.base_dir = base_dir
         self.run_id = run_id
         self.table_format = table_format
-        self.compute_partition_lineage = compute_partition_lineage
+        self.audit_lineage = audit_lineage
         os.makedirs(base_dir, exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
@@ -78,34 +98,60 @@ class StageCheckpointer:
         upstream_hash: str = "",
         partition_by: list[str] | None = None,
     ) -> dict:
-        """Materialize a stage + manifest. Returns the manifest dict."""
+        """Materialize a stage + manifest. Returns the manifest dict.
+
+        The lineage metrics (rows + content hash) are observed DURING the
+        write — one scan per stage. ``audit_lineage=True`` additionally
+        re-reads the materialized output, verifies the recomputed fingerprint
+        equals the observed one, and records the per-partition breakdown.
+        """
         path = self.stage_dir(stage)
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(_row_hash(df.columns)).alias("chash"),
+        )
         t0 = time.time()
         if self.table_format == "iceberg":
             # Iceberg catalog path (no Iceberg runtime jar in this sandbox;
             # kept as the production switch — identical lineage manifest
             # either way). DataFrameWriterV2 carries the partitioning, and the
             # read-back goes through the catalog, not a parquet path.
-            writer_v2 = df.writeTo(self._table_name(stage))  # pragma: no cover
+            writer_v2 = observed.writeTo(self._table_name(stage))  # pragma: no cover
             if partition_by:  # pragma: no cover
                 writer_v2 = writer_v2.partitionedBy(*[F.col(c) for c in partition_by])
             writer_v2.createOrReplace()  # pragma: no cover
         else:
-            writer = df.write.mode("overwrite")
+            writer = observed.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
         wall_ms = int((time.time() - t0) * 1000)
+        vals = obs.get  # the write action already completed; no extra job
+        output_rows = vals["rows"]
+        content_hash = str(vals["chash"])
 
-        spark = df.sparkSession
-        written = self.read(spark, stage)
-        # Order-independent per-row digest: sum of xxhash64 over every column,
-        # in decimal so the sum cannot overflow under ANSI mode. Makes the
-        # manifest fingerprint CONTENT-sensitive — a same-cardinality,
-        # same-schema recompute with different values still invalidates
-        # downstream checkpoints (plans/pipeline._fingerprint includes it).
-        row_hash = F.xxhash64(*written.columns).cast("decimal(25,0)")
-        if self.compute_partition_lineage:
+        # per-partition lineage without re-reading data: the materialized
+        # part files (name + bytes) from FS METADATA only — at 100 TB a
+        # listing, not a scan. The per-partition CONTENT hashes need a
+        # re-read and live behind audit_lineage.
+        files: list[dict] = []
+        if self.table_format != "iceberg":
+            for root, _dirs, names in os.walk(path):
+                for n in sorted(names):
+                    if n.startswith("part-"):
+                        rel = os.path.relpath(os.path.join(root, n), path)
+                        files.append(
+                            {"file": rel, "bytes": os.path.getsize(os.path.join(root, n))}
+                        )
+            files.sort(key=lambda x: x["file"])
+
+        per_part: list[dict] = []
+        if self.audit_lineage:
+            spark = df.sparkSession
+            written = self.read(spark, stage)
+            rh = _row_hash(written.columns)
             per_part = [
                 {
                     "partition_id": r["pid"],
@@ -113,18 +159,18 @@ class StageCheckpointer:
                     "content_hash": str(r["chash"]),
                 }
                 for r in written.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count("*").alias("rows"), F.sum(row_hash).alias("chash"))
+                .agg(F.count("*").alias("rows"), F.sum(rh).alias("chash"))
                 .orderBy("pid").collect()
             ]
-            output_rows = sum(p["rows"] for p in per_part)
-            content_hash = str(sum(int(p["content_hash"]) for p in per_part))
-        else:
-            per_part = []
-            agg = written.agg(
-                F.count("*").alias("rows"), F.sum(row_hash).alias("chash")
-            ).collect()[0]
-            output_rows = agg["rows"]
-            content_hash = str(agg["chash"])
+            audit_rows = sum(p["rows"] for p in per_part)
+            audit_hash = str(sum(int(p["content_hash"]) for p in per_part)) if per_part else str(None)
+            if audit_rows != output_rows or audit_hash != content_hash:
+                raise RuntimeError(
+                    f"stage {stage}: lineage audit mismatch — observed "
+                    f"(rows={output_rows}, hash={content_hash}) vs materialized "
+                    f"(rows={audit_rows}, hash={audit_hash}); the written files "
+                    f"do not match what the plan produced"
+                )
 
         m = {
             "stage": stage,
@@ -137,8 +183,9 @@ class StageCheckpointer:
             "wall_ms": wall_ms,
             "table_format": self.table_format,
             "path": path,
+            "files": files,
             "partitions": per_part,
-            "schema": written.schema.simpleString(),
+            "schema": df.schema.simpleString(),
         }
         with open(self._manifest_path(stage), "w") as f:
             json.dump(m, f, indent=2)

@@ -21,17 +21,41 @@ def small_transcripts(spark):
 
 class TestCheckpointer:
     def test_manifest_lineage(self, spark, tmp_path):
+        """Default (single-pass) mode: metrics observed on the write itself,
+        per-file lineage from FS metadata — no data re-read."""
         ck = StageCheckpointer(str(tmp_path), run_id="t")
         df = spark.range(100).withColumnRenamed("id", "x")
         m = ck.write("s_test", df, params_hash="abc", upstream_hash="")
         assert m["status"] == "complete"
         assert m["output_rows"] == 100
-        assert sum(p["rows"] for p in m["partitions"]) == 100
-        assert all("partition_id" in p for p in m["partitions"])
+        assert m["content_hash"] not in (None, "None", "")
+        assert m["files"] and all(f["bytes"] > 0 for f in m["files"])
+        assert m["partitions"] == []  # content breakdown is audit-only
         assert ck.is_complete("s_test", "abc")
         assert not ck.is_complete("s_test", "other-hash")
         got = ck.read(spark, "s_test")
         assert got.count() == 100
+
+    def test_audit_mode_partitions_and_hash_parity(self, spark, tmp_path):
+        """audit_lineage=True re-reads the materialized stage, records the
+        per-partition content breakdown, and must land on the SAME hash the
+        single-pass observe computed — including for a partitionBy stage,
+        where the re-read reorders columns (the sorted-column row digest is
+        what makes both paths agree)."""
+        df = spark.range(200).selectExpr(
+            "id AS x", "CAST(id % 3 AS INT) AS part", "CAST(id * 7 AS STRING) AS s"
+        )
+        fast = StageCheckpointer(str(tmp_path / "fast"), run_id="t")
+        audit = StageCheckpointer(str(tmp_path / "audit"), run_id="t", audit_lineage=True)
+        for pby in (None, ["part"]):
+            stage = f"s_{'p' if pby else 'flat'}"
+            mf = fast.write(stage, df, params_hash="h", partition_by=pby)
+            ma = audit.write(stage, df, params_hash="h", partition_by=pby)
+            assert mf["output_rows"] == ma["output_rows"] == 200
+            assert mf["content_hash"] == ma["content_hash"], stage
+            assert ma["partitions"] and sum(p["rows"] for p in ma["partitions"]) == 200
+            assert str(sum(int(p["content_hash"]) for p in ma["partitions"])) \
+                == ma["content_hash"]
 
     def test_manifest_on_disk(self, spark, tmp_path):
         ck = StageCheckpointer(str(tmp_path), run_id="t")

@@ -561,6 +561,35 @@ class TestCorpusCompaction:
         assert stats3 == {}
         assert _read_corpus_table(spark, wd, "records", -1).count() == 4
 
+        # SECOND-generation pruning: the re-compacted (h=2) table — previous
+        # compacted directory FOLDED with the new raw batch — must still
+        # bucket-prune a probe to its bucket's files alone
+        pruned2 = _read_corpus_table(
+            spark, wd, "keys", exclude_batch=-1,
+            prune_by=spark.createDataFrame([(kv,)], "key string"),
+        )
+        plan2 = pruned2._jdf.queryExecution().executedPlan().toString()
+        pf2 = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan2)
+        assert pf2, f"gen-2 compaction lost bucket pruning:\n{plan2[:2000]}"
+        assert str(int(expected_bucket)) in pf2.group(1)
+        assert sum(1 for r in pruned2.collect() if r["key"] == kv) == 4
+
+        # ...and verdict equality holds across generations: an arrival after
+        # the SECOND compaction matches every prior conversation exactly as
+        # one after the first did
+        write_file([("convD", 0, "user", blurb, None,
+                     t0 + dt.timedelta(minutes=3))], "b5.parquet")
+        q3 = incremental_match(spark, str(in_dir), wd, max_files_per_trigger=1)
+        q3.awaitTermination(240)
+        got2 = {tuple(sorted((r["conv_id_a"], r["conv_id_b"]))): r
+                for r in spark.read.parquet(wd + "/matches").collect()}
+        for other in ("convA1", "convA2", "convB", "convC"):
+            assert got2[tuple(sorted(("convD", other)))]["strategy"] == "IDENTIFIER"
+        dflags = {d["type"]
+                  for pair, r in got2.items() if "convD" in pair
+                  for d in r["discrepancies"]}
+        assert "POTENTIAL_DUPLICATE_SHORT_NAME" in dflags
+
 
 class TestCompactCorpusCLI:
     def test_cli_compacts_and_reports(self, spark, tmp_path):
