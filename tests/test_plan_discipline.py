@@ -90,8 +90,10 @@ class TestDedupPlans:
             minhash_verified_pairs,
             ngram_jaccard_pairs,
             simhash_near_dup_pairs,
+            substring_duplicate_spans,
             token_jaccard_pairs,
         )
+        from entity_matching_spark.operators.text import bm25_scores_table
 
         docs = spark.createDataFrame(
             [(i, "web", f"alpha beta gamma delta tok{i} tok{i + 1} tok{i + 2}") for i in range(40)],
@@ -101,12 +103,18 @@ class TestDedupPlans:
             [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(40)],
             "vec_id int, embedding array<double>",
         )
+        qt = spark.createDataFrame(
+            [("q1", "alpha"), ("q1", "beta"), ("q2", "gamma")],
+            "query_id string, term string",
+        )
         outs = {
             "token_jaccard": token_jaccard_pairs(docs)[0],
             "ngram_jaccard": ngram_jaccard_pairs(docs)[0],
             "minhash_verified": minhash_verified_pairs(docs),
             "simhash_pairs": simhash_near_dup_pairs(docs)[0],
             "embedding_lsh": embedding_lsh_pairs(vecs, dim=8)[0],
+            "substring_spans": substring_duplicate_spans(docs)[0],
+            "bm25_table": bm25_scores_table(docs, qt),
         }
         for name, df in outs.items():
             h = _hist(_executed_plan(df))
