@@ -72,9 +72,12 @@ def run_pipeline(
     config: MatchConfig | None = None,
     resume: bool = True,
     input_fingerprint: str = "",
+    audit_lineage: bool = False,
 ) -> PipelineResult:
     cfg = config or DEFAULT_CONFIG
-    ck = StageCheckpointer(work_dir, run_id=cfg.params_hash())
+    ck = StageCheckpointer(
+        work_dir, run_id=cfg.params_hash(), audit_lineage=audit_lineage
+    )
     h = cfg.params_hash()
     # per-stage output fingerprints; each stage's upstream_hash chains them so
     # a changed upstream output invalidates every downstream checkpoint

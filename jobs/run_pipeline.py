@@ -45,6 +45,11 @@ def main(argv=None) -> int:
                     help="optional benchmark documents parquet (doc_id, text) for "
                          "the contamination screen; no benchmark -> contamination 0")
     ap.add_argument("--vocab-k", type=int, default=100)
+    ap.add_argument("--audit-lineage", action="store_true",
+                    help="re-read each stage after writing and fail loud if the "
+                         "materialized fingerprint differs from the one observed "
+                         "during the write (adds one scan per stage; default "
+                         "lineage is single-pass)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -75,7 +80,9 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     result = run_pipeline(
-        spark, transcripts, args.out, DEFAULT_CONFIG, resume=not (args.no_resume or args.fresh)
+        spark, transcripts, args.out, DEFAULT_CONFIG,
+        resume=not (args.no_resume or args.fresh),
+        audit_lineage=args.audit_lineage,
     )
     n_clusters = result.clusters.select("cluster_id").distinct().count()
     n_records = result.records.count()

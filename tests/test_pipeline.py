@@ -300,3 +300,22 @@ class TestProfileStages:
             "p1_documents", "p2_vocab", "p3_curation", "p4_packing"
         }
         assert os.path.exists(os.path.join(out, "profile", "p3_curation_manifest.json"))
+
+    def test_audit_lineage_cli_flag(self, spark, tmp_path):
+        """--audit-lineage runs every stage through the re-read cross-check
+        and records the per-partition content breakdown in the manifests
+        (default single-pass runs record files only)."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import jobs.run_pipeline as cli
+
+        out = str(tmp_path / "cliaudit")
+        rc = cli.main(["--out", out, "--families", "12", "--audit-lineage"])
+        assert rc == 0
+        with open(os.path.join(out, "s1_records_manifest.json")) as f:
+            m = json.load(f)
+        assert m["partitions"] and sum(p["rows"] for p in m["partitions"]) == m["output_rows"]
+        assert str(sum(int(p["content_hash"]) for p in m["partitions"])) == m["content_hash"]
