@@ -1014,38 +1014,6 @@ def _sql_dedup_embedding_lsh(sf: str) -> str:
     """
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (operators/dedup.simhash_signatures) — 60-bit signature from
-    md5-derived per-token bit vectors, native Spark bit arithmetic (conv +
-    shiftright). 60 bits keeps the value positive in signed BIGINT; DuckDB
-    reproduces the exact signatures via the '0x'||hex -> BIGINT cast (the
-    md5 hash family is engine-independent)."""
-    from entity_matching_spark.operators.dedup import simhash_signatures
-
-    return simhash_signatures(_read(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def _sql_dedup_simhash(sf: str) -> str:
-    return """
-    WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
-    hv AS (
-      SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks2
-    ),
-    bits AS (
-      SELECT doc_id, bit, ((hv >> bit) & 1) * 2 - 1 AS contrib
-      FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
-    ),
-    sig AS (
-      SELECT doc_id, bit, CASE WHEN SUM(contrib) > 0 THEN 1 ELSE 0 END AS b
-      FROM bits GROUP BY doc_id, bit
-    )
-    SELECT doc_id, CAST(SUM(b * (1::BIGINT << bit)) AS BIGINT) AS simhash
-    FROM sig GROUP BY doc_id ORDER BY doc_id
-    """
-
-
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (operators/dedup.fingerprints) — winnowing-
     style: min md5 over 16-char windows sampled every 8 chars (rolling-hash
@@ -1126,6 +1094,100 @@ def _sql_dedup_substring(sf: str) -> str:
            end_a - start_a AS span_len, n_grams
     FROM sp WHERE n_grams >= {_SUB_MIN_GRAMS}
     ORDER BY doc_a, doc_b, start_a, start_b
+    """
+
+
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup (operators/dedup.
+    remove_duplicate_spans): every span found by dedup_substring is spliced
+    out of its LATER-id document (doc_a < doc_b, cut doc_b), keeping one
+    copy of each repeated substring corpus-wide — detect AND act, the full
+    "deduplicating training data" recipe. The oracle reconstructs the
+    identical interval merge and byte-exact splice; length(text_in) =
+    length(text_out) + removed_chars is additionally pinned in pytest."""
+    from entity_matching_spark.operators.dedup import (
+        remove_duplicate_spans, substring_duplicate_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    spans, _ = substring_duplicate_spans(
+        docs, k=_SUB_K, mod_p=_SUB_P, max_gap=_SUB_GAP,
+        min_grams=_SUB_MIN_GRAMS, max_docs_per_gram=_SUB_CAP,
+    )
+    return remove_duplicate_spans(docs, spans).select(
+        "doc_id", "text", "removed_chars",
+        F.col("n_spans_removed").cast("long").alias("n_spans_removed"),
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_substring_removal(sf: str) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+    pos AS (SELECT doc_id, unnest(generate_series(1, len(s) - {_SUB_K} + 1)) AS p, s
+            FROM t WHERE len(s) >= {_SUB_K}),
+    g AS (SELECT doc_id, p, md5(substr(s, CAST(p AS INT), {_SUB_K})) AS h FROM pos),
+    sel AS (SELECT doc_id, p, h FROM g
+            WHERE (('0x' || substr(h, 1, 4))::BIGINT) % {_SUB_P} = 0),
+    g1 AS (SELECT doc_id, h, MIN(p) AS pos FROM sel GROUP BY doc_id, h),
+    dfc AS (SELECT h, COUNT(*) AS n_docs FROM g1 GROUP BY h),
+    kept AS (SELECT g1.doc_id, g1.h, g1.pos FROM g1 JOIN dfc USING (h)
+             WHERE n_docs BETWEEN 2 AND {_SUB_CAP}),
+    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pos_a, b.pos - a.pos AS diag
+           FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
+                             (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+                             > {_SUB_GAP} THEN 1 ELSE 0 END AS ni FROM pr),
+    isl2 AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pos_a ROWS UNBOUNDED PRECEDING)
+                       AS island FROM isl),
+    sp AS (SELECT doc_a, doc_b, diag, island,
+                  MIN(pos_a) AS start_a, MAX(pos_a) + {_SUB_K} AS end_a,
+                  COUNT(*) AS n_grams
+           FROM isl2 GROUP BY doc_a, doc_b, diag, island),
+    -- DISTINCT makes the (cs, ce) window order TOTAL per doc: duplicate
+    -- cuts would let the island cumsum split across tie orders (see the
+    -- operator docstring) and the splice would be engine-dependent
+    cuts AS (SELECT DISTINCT doc_b AS doc_id, start_a + diag AS cs,
+                    end_a + diag AS ce
+             FROM sp WHERE n_grams >= {_SUB_MIN_GRAMS}),
+    cisl AS (SELECT *, CASE WHEN cs > coalesce(MAX(ce) OVER
+                              (PARTITION BY doc_id ORDER BY cs, ce
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            THEN 1 ELSE 0 END AS cni FROM cuts),
+    cisl2 AS (SELECT *, SUM(cni) OVER (PARTITION BY doc_id ORDER BY cs, ce
+                                       ROWS UNBOUNDED PRECEDING) AS cisland
+              FROM cisl),
+    merged AS (SELECT doc_id, cisland, MIN(cs) AS cs, MAX(ce) AS ce
+               FROM cisl2 GROUP BY doc_id, cisland),
+    agg AS (SELECT doc_id, CAST(SUM(ce - cs) AS BIGINT) AS removed_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans_removed
+            FROM merged GROUP BY doc_id),
+    seg AS (
+      SELECT doc_id,
+             coalesce(lag(ce) OVER (PARTITION BY doc_id ORDER BY cs), 1) AS seg_start,
+             cs AS seg_end
+      FROM merged
+      UNION ALL
+      SELECT doc_id, MAX(ce), NULL FROM merged GROUP BY doc_id
+    ),
+    pieces AS (
+      SELECT seg.doc_id, seg_start,
+             CASE WHEN seg_end IS NULL THEN substr(t.s, CAST(seg_start AS INT))
+                  ELSE substr(t.s, CAST(seg_start AS INT),
+                              CAST(seg_end - seg_start AS INT)) END AS piece
+      FROM seg JOIN t ON t.doc_id = seg.doc_id
+    ),
+    clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS ctext
+              FROM pieces GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN agg.doc_id IS NULL THEN d.text ELSE clean.ctext END AS text,
+           coalesce(agg.removed_chars, 0) AS removed_chars,
+           coalesce(agg.n_spans_removed, 0) AS n_spans_removed
+    FROM documents d
+    LEFT JOIN agg ON agg.doc_id = d.doc_id
+    LEFT JOIN clean ON clean.doc_id = d.doc_id
+    ORDER BY d.doc_id
     """
 
 
@@ -1269,7 +1331,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band of the 60-bit signature; 32,768 bucket values per band), band-bucket
     frequency cap (over-cap buckets dropped AND reported), exact
     popcount-of-xor filter. All native bit arithmetic; DuckDB reproduces
-    signatures, bands, cap and distances."""
+    signatures, bands, cap and distances. (Round 5: the standalone
+    signatures query was folded into this one — the oracle's sig CTEs
+    rebuild the exact 60-bit signatures, and simhash_signatures keeps its
+    value-level pytest assertions.)"""
     from entity_matching_spark.operators.dedup import simhash_near_dup_pairs
 
     pairs, _dropped = simhash_near_dup_pairs(
@@ -2780,10 +2845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_removal": q_dedup_substring_removal,
         "em_catalog_match": q_catalog_match,
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2835,8 +2900,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": _sql_dedup_canonical(sf),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(sf),
         "dedup_embedding_lsh": _sql_dedup_embedding_lsh(sf),
-        "dedup_simhash": _sql_dedup_simhash(sf),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(sf),
+        "dedup_substring_removal": _sql_dedup_substring_removal(sf),
         "dedup_embedding": _sql_dedup_embedding(sf),
         "doc_fingerprint": _sql_fingerprint(sf),
         "multimodal_features": _sql_multimodal_features(sf),

@@ -113,8 +113,8 @@ BENCH_QUERIES = [
     "em_similarity", "em_sorted_neighborhood",
     "em_top_k", "em_connected_components", "em_catalog_match",
     "dedup_minhash_verified", "dedup_token_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_canonical",
-    "dedup_substring",
+    "dedup_simhash_pairs", "dedup_canonical",
+    "dedup_substring", "dedup_substring_removal",
     "doc_fingerprint", "ann_cosine_topk", "ann_ivf_search", "ann_kmeans_train",
     "ann_ivf_recall_pp", "ann_quantized_recall",
     "text_quality_score", "text_lang_id", "text_bm25", "text_bm25_table",

@@ -784,3 +784,86 @@ def substring_duplicate_spans(
         )
     )
     return spans, dropped
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text, removed_chars, n_spans_removed): the REMOVAL half of
+    substring-level dedup — splice every duplicated span out of the
+    LATER-id document (``substring_duplicate_spans`` emits doc_a < doc_b, so
+    cutting the doc_b occurrence keeps exactly one copy of each repeated
+    substring corpus-wide, the "deduplicating training data" action).
+
+    Steps, all engine-portable (the DuckDB oracle reproduces the splice
+    byte-for-byte):
+
+    1. cut intervals = (doc_b, [start_b, start_b + span_len)) — half-open;
+    2. merge overlapping/contiguous intervals per doc (running-max island
+       merge: a cut starts a new island iff its start exceeds the max end of
+       every earlier cut);
+    3. splice: one per-row ``aggregate`` fold over the doc's sorted disjoint
+       intervals stitches the kept segments (prefix, inter-span gaps,
+       suffix) back together.
+
+    Documents never named as a cut target pass through unchanged
+    (removed_chars = 0). Invariant: length(text_in) = length(text_out) +
+    removed_chars for every row (pinned in pytest).
+
+    Scale shape: interval merge is doc-keyed windows bounded by each doc's
+    span count; the splice is a zero-shuffle per-row fold; the single join
+    back to the corpus is on the id. Nothing is quadratic in the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    # DISTINCT is load-bearing, not just a row-count optimization: duplicate
+    # (start, end) cuts (the same doc_b span found via several doc_a
+    # partners) would make the window sort order non-total, and a cumulative
+    # island sum computed over one tie order then grouped under another can
+    # split an island's opening duplicate into the PREVIOUS island —
+    # overlapping "merged" intervals and an engine-dependent splice.
+    cuts = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.col("start_b").alias("start"),
+        (F.col("start_b") + F.col("span_len")).alias("end"),
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("start", "end")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = cuts.withColumn(
+        "ni", F.when(F.col("start") > F.coalesce(prev_max_end, F.lit(0)), 1).otherwise(0)
+    ).withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = isl.groupBy(id_col, "island").agg(
+        F.min("start").alias("start"), F.max("end").alias("end")
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("start", "end"))).alias("ivs"),
+        F.sum(F.col("end") - F.col("start")).alias("removed_chars"),
+        F.count("*").alias("n_spans_removed"),
+    )
+    t = F.col(text_col)
+    spliced = F.aggregate(
+        F.col("ivs"),
+        F.struct(F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")),
+        lambda a, iv: F.struct(
+            iv["end"].cast("long").alias("pos"),
+            F.concat(a["acc"], t.substr(a["pos"], iv["start"] - a["pos"])).alias("acc"),
+        ),
+        lambda a: F.concat(a["acc"], t.substr(a["pos"], F.length(t) - a["pos"] + 1)),
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("ivs").isNotNull(), spliced).otherwise(t).alias(text_col),
+            F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+            F.coalesce("n_spans_removed", F.lit(0)).alias("n_spans_removed"),
+        )
+    )

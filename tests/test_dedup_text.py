@@ -286,6 +286,49 @@ class TestSubstringDedup:
         spans, dropped = substring_duplicate_spans(docs, k=16, mod_p=2)
         assert spans.count() == 0 and dropped.count() == 0
 
+    def test_removal_cuts_later_doc_and_preserves_lengths(self, spark):
+        """remove_duplicate_spans splices every span out of the LATER-id doc
+        (one copy survives corpus-wide); uninvolved and NULL docs pass
+        through; length(in) == length(out) + removed_chars everywhere."""
+        from entity_matching_spark.operators.dedup import (
+            remove_duplicate_spans, substring_duplicate_spans,
+        )
+
+        docs = self._docs(spark)
+        spans, _ = substring_duplicate_spans(docs, k=16, mod_p=4)
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, spans).collect()}
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert out[1]["removed_chars"] == 0 and out[1]["text"] == orig[1]
+        assert out[2]["removed_chars"] > 0
+        assert self.SHARED not in out[2]["text"]  # the duplicate copy is gone
+        assert self.SHARED in out[1]["text"]      # the kept copy is intact
+        assert out[3]["removed_chars"] == 0 and out[4]["text"] is None
+        for d, r in out.items():
+            if orig[d] is not None:
+                assert len(orig[d]) == len(r["text"]) + r["removed_chars"], d
+
+    def test_removal_merges_overlapping_cuts(self, spark):
+        """A doc cut by several doc_a partners gets ONE merged splice per
+        overlapping region — duplicate/overlapping intervals must never
+        double-remove or split islands (the tie-order hazard the operator
+        docstring documents)."""
+        from entity_matching_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(9, "0123456789abcdefghijklmnopqrstuvwxyz")],
+            "doc_id int, text string",
+        )
+        # three overlapping + one duplicate cut over [5, 15) and [12, 20)
+        spans = spark.createDataFrame(
+            [(1, 9, 1, 5, 10, 2), (2, 9, 1, 5, 10, 2),
+             (3, 9, 1, 8, 7, 2), (4, 9, 1, 12, 8, 2)],
+            "doc_a int, doc_b int, start_a int, start_b int, span_len int, n_grams int",
+        )
+        r = remove_duplicate_spans(docs, spans).collect()[0]
+        # merged interval = [5, 20) -> chars '4'..'i' (0-based 4..18) removed
+        assert r["text"] == "0123" + "jklmnopqrstuvwxyz"
+        assert r["removed_chars"] == 15 and r["n_spans_removed"] == 1
+
 
 class TestTextOps:
     def test_token_stats(self, spark):
