@@ -89,6 +89,7 @@ class TestDedupPlans:
             embedding_lsh_pairs,
             minhash_verified_pairs,
             ngram_jaccard_pairs,
+            remove_duplicate_spans,
             simhash_near_dup_pairs,
             substring_duplicate_spans,
             token_jaccard_pairs,
@@ -107,13 +108,15 @@ class TestDedupPlans:
             [("q1", "alpha"), ("q1", "beta"), ("q2", "gamma")],
             "query_id string, term string",
         )
+        spans = substring_duplicate_spans(docs)[0]
         outs = {
             "token_jaccard": token_jaccard_pairs(docs)[0],
             "ngram_jaccard": ngram_jaccard_pairs(docs)[0],
             "minhash_verified": minhash_verified_pairs(docs),
             "simhash_pairs": simhash_near_dup_pairs(docs)[0],
             "embedding_lsh": embedding_lsh_pairs(vecs, dim=8)[0],
-            "substring_spans": substring_duplicate_spans(docs)[0],
+            "substring_spans": spans,
+            "substring_removal": remove_duplicate_spans(docs, spans),
             "bm25_table": bm25_scores_table(docs, qt),
         }
         for name, df in outs.items():
