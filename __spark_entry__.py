@@ -1843,7 +1843,7 @@ _BM25_TABLE_PROBES = {
 def q_text_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with terms-as-data (operators/text.bm25_scores_table): a
     (query_id, term) TABLE scores N probe queries in ONE corpus pass —
-    tokens semi-reduce against the broadcast term vocabulary before any
+    tokens semi-reduce against the term vocabulary before the tf groupBy
     shuffle, then (doc, term) tf / vocab-sized df / final (query, doc) sum.
     Emits only documents with >= 1 matching term (every omitted score is 0).
     Agrees exactly with the literal-query operator on a 1-query table

@@ -16,7 +16,8 @@ shuffle: each is a pure projection, so throughput is the parquet scan):
   aggregate broadcast back (the retrieval/triage primitive).
 - ``bm25_scores_table``: the same formula with terms-as-data — a
   ``(query_id, term)`` table scores N probes in one corpus pass (tokens
-  semi-reduce against the broadcast term vocabulary before any shuffle).
+  semi-reduce against the term vocabulary before the tf groupBy; no
+  forced broadcasts on query-derived tables, AQE decides).
 - ``tfidf_topk_terms``: per-document top-k keyword extraction by tf-idf —
   keyed tf/df aggregates + a per-doc window (the only non-projection ops in
   the module, all map-side-combinable).
@@ -198,13 +199,15 @@ def bm25_scores_table(
     pairs would be a cross join at scale).
 
     Scale shape: the corpus is scanned once into (doc, dl) + exploded
-    tokens; tokens semi-reduce against the broadcast distinct-term
-    vocabulary BEFORE any shuffle, so the only data-sized exchanges carry
-    matching tokens: one map-side-combined (doc, term) tf groupBy, one
-    vocabulary-sized df groupBy, term-keyed joins back to the (probe-sized,
-    broadcast) query table, and the final (query, doc) sum. The query table
-    is model-sized by contract (probes, not data) — hence the explicit
-    broadcasts.
+    tokens; tokens semi-reduce against the distinct-term vocabulary BEFORE
+    the tf groupBy, so the keyed exchanges carry matching tokens only: one
+    map-side-combined (doc, term) tf groupBy, one vocabulary-sized df
+    groupBy, term-keyed joins back to the query table, and the final
+    (query, doc) sum. No forced broadcasts on the query-derived tables —
+    a handful of probes AQE broadcasts on its own, while a LARGE probe
+    table (terms-as-data means millions of probes is a legitimate input)
+    must be allowed to sort-merge rather than OOM the driver; only the
+    provably one-row corpus-stats aggregate carries a broadcast hint.
     """
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
@@ -218,9 +221,9 @@ def bm25_scores_table(
     tokens = docs.select(
         F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
     )
-    # semi-reduce first: non-matching tokens never reach a shuffle
+    # semi-reduce first: non-matching tokens never reach the tf groupBy
     tf = (
-        tokens.join(F.broadcast(vocab), "term")
+        tokens.join(vocab, "term")
         .groupBy(id_col, "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
@@ -237,7 +240,7 @@ def bm25_scores_table(
     term_score = idf * F.col("tf") * (k1 + 1) / (F.col("tf") + F.lit(k1) * norm)
     return (
         tf.join(dfreq, "term")
-        .join(F.broadcast(qt), "term")
+        .join(qt, "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", id_col, "dl", term_score.alias("ts"))
         .groupBy("query_id", id_col, "dl")
