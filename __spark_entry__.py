@@ -1024,11 +1024,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_fingerprint(sf: str) -> str:
+    # WHERE text IS NOT NULL mirrors the operator's NULL contract (a NULL
+    # text yields NO row): DuckDB's greatest() ignores NULLs, so without the
+    # filter a NULL-text doc would emit a (doc_id, NULL) row here while the
+    # Spark side filters it
     return """
     WITH w AS (
       SELECT doc_id, md5(substr(text, CAST(p AS INT), 16)) AS h
       FROM documents,
            LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 15, 1), 8)) AS p)
+      WHERE text IS NOT NULL
     )
     SELECT doc_id, min(h) AS fingerprint FROM w GROUP BY doc_id ORDER BY doc_id
     """
@@ -1090,9 +1095,17 @@ def _sql_dedup_substring(sf: str) -> str:
                   MIN(pos_a) AS start_a, MAX(pos_a) + {_SUB_K} AS end_a,
                   CAST(COUNT(*) AS BIGINT) AS n_grams
            FROM isl2 GROUP BY doc_a, doc_b, diag, island)
+    -- exact confirm (operator step 7): keep only spans whose full
+    -- substrings are byte-identical — island interiors between selected
+    -- grams are otherwise unverified
     SELECT doc_a, doc_b, start_a, start_a + diag AS start_b,
            end_a - start_a AS span_len, n_grams
-    FROM sp WHERE n_grams >= {_SUB_MIN_GRAMS}
+    FROM sp
+    JOIN t ta ON ta.doc_id = sp.doc_a
+    JOIN t tb ON tb.doc_id = sp.doc_b
+    WHERE n_grams >= {_SUB_MIN_GRAMS}
+      AND substr(ta.s, CAST(start_a AS INT), CAST(end_a - start_a AS INT))
+        = substr(tb.s, CAST(start_a + diag AS INT), CAST(end_a - start_a AS INT))
     ORDER BY doc_a, doc_b, start_a, start_b
     """
 
@@ -1145,12 +1158,20 @@ def _sql_dedup_substring_removal(sf: str) -> str:
                   MIN(pos_a) AS start_a, MAX(pos_a) + {_SUB_K} AS end_a,
                   COUNT(*) AS n_grams
            FROM isl2 GROUP BY doc_a, doc_b, diag, island),
-    -- DISTINCT makes the (cs, ce) window order TOTAL per doc: duplicate
-    -- cuts would let the island cumsum split across tie orders (see the
-    -- operator docstring) and the splice would be engine-dependent
+    -- exact confirm (operator step 7) mirrored from dedup_substring, then
+    -- DISTINCT: duplicate cuts would let the island cumsum split across
+    -- tie orders (see the operator docstring) and the splice would be
+    -- engine-dependent
     cuts AS (SELECT DISTINCT doc_b AS doc_id, start_a + diag AS cs,
                     end_a + diag AS ce
-             FROM sp WHERE n_grams >= {_SUB_MIN_GRAMS}),
+             FROM sp
+             JOIN t ta ON ta.doc_id = sp.doc_a
+             JOIN t tb ON tb.doc_id = sp.doc_b
+             WHERE n_grams >= {_SUB_MIN_GRAMS}
+               AND substr(ta.s, CAST(start_a AS INT),
+                          CAST(end_a - start_a AS INT))
+                 = substr(tb.s, CAST(start_a + diag AS INT),
+                          CAST(end_a - start_a AS INT))),
     cisl AS (SELECT *, CASE WHEN cs > coalesce(MAX(ce) OVER
                               (PARTITION BY doc_id ORDER BY cs, ce
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -304,7 +304,13 @@ def kmeans_centroids(
         )
     else:
         raise ValueError(f"kmeans_centroids: unknown init {init!r} (first|kpp)")
-    first = vectors.select(F.size(_emb(emb_col)).alias("d")).limit(1).collect()
+    # probe must skip NULL embeddings (the update path tolerates them): a
+    # NULL sample would yield size(NULL) = -1 -> zero sum columns -> every
+    # centroid silently trained to []
+    first = (
+        vectors.where(F.col(emb_col).isNotNull())
+        .select(F.size(_emb(emb_col)).alias("d")).limit(1).collect()
+    )
     n_dims = first[0]["d"] if first else 0
     for _ in range(n_iter):
         assign = assign_cells(

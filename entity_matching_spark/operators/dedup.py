@@ -668,6 +668,7 @@ def substring_duplicate_spans(
     max_docs_per_gram: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Substring-level exact dedup (the suffix-array-style "deduplicating
     training data" recipe re-expressed as bucketed fingerprints): finds
@@ -711,12 +712,23 @@ def substring_duplicate_spans(
        diagonal (pos_b - pos_a constant); per (pair, diagonal), order by
        pos_a and split islands where the selection gap exceeds ``max_gap``
        (selection gaps are ~geometric with mean mod_p); keep islands with
-       >= ``min_grams`` corroborating grams.
+       >= ``min_grams`` corroborating grams;
+    7. EXACT CONFIRM (``verify=True``, default): only k bytes around each
+       selected gram are proven equal by step 5 — the up-to-``max_gap``
+       bytes BETWEEN two grams on a diagonal are not. Templated text (two
+       static fragments separated by equal-width variable fields) forms
+       islands whose interiors differ; the confirm joins both texts back
+       and keeps only spans whose full substrings are byte-identical —
+       the same candidates-then-confirm discipline as the MinHash and
+       embedding families. A mixed island (a true shared prefix running
+       into a template tail) is dropped WHOLE, not split — the documented
+       cost of confirming at island granularity.
 
     Scale shape: the explode emits only ~len/mod_p selected rows per doc;
     every shuffle is keyed (gram hash, then pair+diagonal windows bounded by
-    per-pair match counts); the only self-join is df-capped on both sides.
-    No all-pairs anywhere.
+    per-pair match counts); the only self-join is df-capped on both sides;
+    the confirm joins span rows (not pairs of positions) back to the corpus
+    by id. No all-pairs anywhere.
     """
     from pyspark.sql.window import Window
 
@@ -783,6 +795,18 @@ def substring_duplicate_spans(
             "n_grams",
         )
     )
+    if verify:
+        ta = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+        tb = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+        spans = (
+            spans.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .where(
+                F.col("_ta").substr(F.col("start_a"), F.col("span_len"))
+                == F.col("_tb").substr(F.col("start_b"), F.col("span_len"))
+            )
+            .select("doc_a", "doc_b", "start_a", "start_b", "span_len", "n_grams")
+        )
     return spans, dropped
 
 

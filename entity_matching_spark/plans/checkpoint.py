@@ -151,6 +151,22 @@ class StageCheckpointer:
         if self.audit_lineage:
             spark = df.sparkSession
             written = self.read(spark, stage)
+            # re-cast any column whose read-back TYPE drifted (parquet
+            # partition-column inference can re-read a string partition
+            # value like '2024' as int, and xxhash64 is type-sensitive —
+            # the audit would raise on perfectly intact data). Compare via
+            # simpleString, which ignores nullability: parquet read-back
+            # relaxes NOT NULL struct fields, and casting those back is
+            # both unnecessary for the hash and rejected by the analyzer.
+            wtypes = {f.name: f.dataType for f in written.schema.fields}
+            written = written.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if wtypes[f.name].simpleString() != f.dataType.simpleString()
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
             rh = _row_hash(written.columns)
             per_part = [
                 {

@@ -194,6 +194,7 @@ def run_profile(
     config: MatchConfig | None = None,
     resume: bool = True,
     input_fingerprint: str = "",
+    audit_lineage: bool = False,
 ) -> dict:
     """Optional corpus-profiling stages — the LLM-data story run end-to-end
     over the SAME transcript corpus the ER pipeline links, with the same
@@ -220,17 +221,23 @@ def run_profile(
     from ..operators.dedup import minhash_verified_pairs
     from ..operators.text import vocab_topk
 
+    from .checkpoint import _row_hash
+
     cfg = config or DEFAULT_CONFIG
-    ck = StageCheckpointer(work_dir, run_id=cfg.params_hash())
+    ck = StageCheckpointer(
+        work_dir, run_id=cfg.params_hash(), audit_lineage=audit_lineage
+    )
     # the benchmark table joins the hash by CONTENT (row count + order-free
     # xxhash64 sum), not by presence: with resume=True a changed benchmark
-    # must invalidate p3_curation/p4_packing, not silently reuse them
+    # must invalidate p3_curation/p4_packing, not silently reuse them.
+    # _row_hash sums in decimal — a plain long sum of two 64-bit hashes
+    # overflows (and throws under ANSI mode) with coin-flip probability.
     if benchmark is None:
         bench_fp = None
     else:
         brow = benchmark.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64(*benchmark.columns)).alias("x"),
+            F.sum(_row_hash(benchmark.columns)).alias("x"),
         ).first()
         bench_fp = f"{brow['n']}:{brow['x']}"
     # profile knobs join the params hash so changed rates/k/benchmark rebuild

@@ -315,21 +315,44 @@ def _checkpoint_batch_ids(spark: SparkSession, log_dir: str) -> set[int]:
     return ids
 
 
-def _assert_stream_quiesced(spark: SparkSession, work_dir: str) -> None:
+def _assert_stream_quiesced(
+    spark: SparkSession, work_dir: str, expected_offsets: set[int] | None = None
+) -> set[int]:
     """Refuse to compact over an in-flight micro-batch: an offsets entry
     without a matching commits entry means the ingest stream died (or is
     still running) mid-batch — its raw partition may be partial, and its
-    replay after compaction would violate the high-water-mark contract."""
+    replay after compaction would violate the high-water-mark contract.
+
+    A RUNNING stream between micro-batches looks identical to a stopped one
+    (offsets == commits), so the single entry check cannot prove the stream
+    is down. Compaction therefore re-calls this with ``expected_offsets`` =
+    the entry snapshot immediately before each table's manifest commit: a
+    micro-batch that ran DURING the compacted rewrite (whose partially
+    written raw partition the scan may have absorbed) either shows up
+    in-flight or has grown the offsets set — both abort BEFORE any reader-
+    visible pointer moves. A batch that starts after the recheck gets a
+    batch_id above the recorded high-water mark and stays raw — no loss.
+
+    Returns the committed-offsets snapshot for use as the next
+    ``expected_offsets``."""
     ck = f"{work_dir}/_stream_checkpoint"
-    inflight = _checkpoint_batch_ids(spark, f"{ck}/offsets") - _checkpoint_batch_ids(
-        spark, f"{ck}/commits"
-    )
+    offs = _checkpoint_batch_ids(spark, f"{ck}/offsets")
+    inflight = offs - _checkpoint_batch_ids(spark, f"{ck}/commits")
     if inflight:
         raise RuntimeError(
             f"compact_corpus: in-flight/uncommitted micro-batch(es) "
             f"{sorted(inflight)} in {ck} — stop the stream and let it "
             f"finish (or reset the checkpoint) before compacting"
         )
+    if expected_offsets is not None and offs != expected_offsets:
+        raise RuntimeError(
+            f"compact_corpus: the ingest stream advanced during compaction "
+            f"(micro-batch(es) {sorted(offs - expected_offsets)} committed "
+            f"after the rewrite began) — the rewrite may have scanned a "
+            f"partially written raw partition; aborting before the manifest "
+            f"cutover. Stop the stream, then re-run compaction."
+        )
+    return offs
 
 
 def compact_corpus(
@@ -357,20 +380,24 @@ def compact_corpus(
 
     MUST run while the ingest stream is STOPPED (after a clean availableNow
     completion): the high-water mark assumes every raw ``batch_id`` it
-    absorbs is committed. ENFORCED, not just documented: the streaming
-    checkpoint's offsets/commits logs are compared and an in-flight batch
-    (offset written, commit missing) raises before any data moves; the
-    replay side is guarded in ``incremental_match``'s process_batch, which
-    refuses a ``batch_id <= h`` (a batch already absorbed by compaction —
-    reprocessing it would cross-pair the batch against its own compacted
-    copy). ``prune_raw=True`` additionally deletes the absorbed raw batch
-    partitions and the superseded compacted directory.
+    absorbs is committed. ENFORCED, not just documented, with a two-point
+    check (see ``_assert_stream_quiesced``): at entry, an in-flight batch
+    (offset written, commit missing) raises before any data moves; and
+    immediately before EACH table's manifest commit the offsets snapshot is
+    re-compared — a stream that was merely idle-between-batches at entry
+    and ran a batch during the rewrite aborts before any reader-visible
+    pointer moves. The replay side is guarded in ``incremental_match``'s
+    process_batch, which refuses a ``batch_id <= h`` (a batch already
+    absorbed by compaction — reprocessing it would cross-pair the batch
+    against its own compacted copy). ``prune_raw=True`` additionally deletes
+    the absorbed raw batch partitions and the superseded compacted
+    directory.
 
     Returns per-table stats ({table: {"h": ..., "rows": ...}}).
     """
     import json
 
-    _assert_stream_quiesced(spark, work_dir)
+    offs0 = _assert_stream_quiesced(spark, work_dir)
 
     stats: dict = {}
     plans: list[tuple[str, str, int, object]] = []
@@ -418,8 +445,11 @@ def compact_corpus(
                 .parquet(out_dir)
             )
             manifest = {"h": int(new_high), "n_buckets": n_buckets, "key": key_col}
-        # commit order: (1) inner copy inside the completed directory — the
-        # recovery anchor; (2) atomic pointer cutover readers follow
+        # commit order: (0) re-verify the stream stayed quiesced across the
+        # rewrite (an idle-at-entry stream may have run a batch since);
+        # (1) inner copy inside the completed directory — the recovery
+        # anchor; (2) atomic pointer cutover readers follow
+        _assert_stream_quiesced(spark, work_dir, expected_offsets=offs0)
         _fs_write_text(spark, f"{out_dir}/_COMPACTION.json", json.dumps(manifest))
         _fs_write_text_atomic(spark, f"{comp_base}/MANIFEST.json", json.dumps(manifest))
         stats[table] = {"h": int(new_high),
@@ -567,21 +597,30 @@ def incremental_match(
         # (dropped by the SIDE_COLS/SCORED_COLS projections).
         df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
 
+    # Replay-vs-compaction guard, read ONCE before the stream starts (not
+    # per micro-batch — compact_corpus may only run while the stream is
+    # stopped, so the high-water marks are fixed for this stream's
+    # lifetime): a batch_id at or below any compaction high-water mark was
+    # already ABSORBED into the compacted corpus (its batch_id column is
+    # gone), so the exclude_batch filter cannot keep it from cross-pairing
+    # against its own copy. That only occurs when the streaming checkpoint
+    # was reset against an existing work_dir — fail loud instead of
+    # silently double-matching.
+    high_water = {
+        table: man["h"]
+        for table in ("keys", "records", "key_counts")
+        if (man := _compaction_manifest(spark, f"{work_dir}/{table}_compacted"))
+        is not None
+    }
+
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        # Replay-vs-compaction guard: a batch_id at or below any compaction
-        # high-water mark was already ABSORBED into the compacted corpus
-        # (its batch_id column is gone), so the exclude_batch filter cannot
-        # keep it from cross-pairing against its own copy. This only occurs
-        # when the streaming checkpoint was reset against an existing
-        # work_dir — fail loud instead of silently double-matching.
-        for table in ("keys", "records", "key_counts"):
-            man = _compaction_manifest(spark, f"{work_dir}/{table}_compacted")
-            if man is not None and batch_id <= man["h"]:
+        for table, h in high_water.items():
+            if batch_id <= h:
                 raise RuntimeError(
                     f"incremental_match: batch_id={batch_id} is at or below "
-                    f"the {table} compaction high-water mark h={man['h']} — "
+                    f"the {table} compaction high-water mark h={h} — "
                     f"this batch was already absorbed by compact_corpus; "
                     f"replaying it would duplicate matches. Use a fresh "
                     f"work_dir or keep the original stream checkpoint."

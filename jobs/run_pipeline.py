@@ -109,6 +109,7 @@ def main(argv=None) -> int:
             spark, transcripts, os.path.join(args.out, "profile"),
             benchmark=bench, vocab_k=args.vocab_k,
             resume=not (args.no_resume or args.fresh),
+            audit_lineage=args.audit_lineage,
         )
         kept = prof["curation"].agg(
             F.count("*").alias("docs"),

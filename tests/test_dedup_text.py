@@ -286,6 +286,40 @@ class TestSubstringDedup:
         spans, dropped = substring_duplicate_spans(docs, k=16, mod_p=2)
         assert spans.count() == 0 and dropped.count() == 0
 
+    def test_templated_text_islands_are_exact_confirmed(self, spark):
+        """Two selected grams on one diagonal only prove k bytes each — the
+        gap between them is unverified, so templated text (static fragments
+        around equal-width variable fields) can form FALSE islands. The
+        exact-confirm step (verify=True, default) must reject any span whose
+        full substrings differ, and every surviving span must extract
+        byte-identical text."""
+        from entity_matching_spark.operators.dedup import substring_duplicate_spans
+
+        # static 40-char head/tail around a 12-char variable middle: the
+        # head and tail are long enough to guarantee selected grams in both
+        # docs at the same diagonal, the middles differ
+        head = "STATIC HEADER FRAGMENT ALPHA BETA GAMMA "
+        tail = " STATIC FOOTER FRAGMENT DELTA EPSILON ZT"
+        docs = spark.createDataFrame(
+            [(1, head + "var=AAAA0001" + tail), (2, head + "var=BBBB0002" + tail)],
+            "doc_id int, text string",
+        )
+        # unverified: the head+tail grams share the diagonal (same offsets in
+        # both docs) and max_gap covers the differing middle -> false island
+        raw, _ = substring_duplicate_spans(docs, k=16, mod_p=2, verify=False)
+        raw_rows = raw.collect()
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert any(
+            texts[1][r["start_a"] - 1:r["start_a"] - 1 + r["span_len"]]
+            != texts[2][r["start_b"] - 1:r["start_b"] - 1 + r["span_len"]]
+            for r in raw_rows
+        ), "expected an unconfirmed false island to exist (raises if the test fixture no longer exercises the hazard)"
+        # confirmed (default): every span is byte-identical
+        conf, _ = substring_duplicate_spans(docs, k=16, mod_p=2)
+        for r in conf.collect():
+            assert (texts[1][r["start_a"] - 1:r["start_a"] - 1 + r["span_len"]]
+                    == texts[2][r["start_b"] - 1:r["start_b"] - 1 + r["span_len"]])
+
     def test_removal_cuts_later_doc_and_preserves_lengths(self, spark):
         """remove_duplicate_spans splices every span out of the LATER-id doc
         (one copy survives corpus-wide); uninvolved and NULL docs pass

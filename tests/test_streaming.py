@@ -681,6 +681,23 @@ class TestCompactionSafety:
         assert _compaction_manifest(spark, wd + "/keys_compacted") == good
         assert _read_corpus_table(spark, wd, "keys", exclude_batch=-1).count() == n
 
+    def test_quiesce_recheck_detects_stream_advance(self, spark, tmp_path):
+        """An idle-at-entry RUNNING stream looks quiesced (offsets ==
+        commits); the pre-cutover recheck must catch a micro-batch that
+        committed during the rewrite by comparing offsets snapshots."""
+        import pytest
+
+        from entity_matching_spark.streaming.ingest import _assert_stream_quiesced
+
+        _, wd = self._one_batch_workdir(spark, tmp_path, "advance")
+        offs = _assert_stream_quiesced(spark, wd)
+        assert offs  # at least the one committed batch
+        # same snapshot -> recheck passes
+        assert _assert_stream_quiesced(spark, wd, expected_offsets=offs) == offs
+        # a snapshot taken "before" that batch -> the recheck must abort
+        with pytest.raises(RuntimeError, match="advanced during compaction"):
+            _assert_stream_quiesced(spark, wd, expected_offsets=set())
+
     def test_compact_refuses_inflight_batch(self, spark, tmp_path):
         """An offsets entry without a matching commit = a micro-batch died
         mid-flight; compacting over it would absorb a partial partition."""
