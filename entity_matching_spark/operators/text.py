@@ -200,14 +200,19 @@ def bm25_scores_table(
 
     Scale shape: the corpus is scanned once into (doc, dl) + exploded
     tokens; tokens semi-reduce against the distinct-term vocabulary BEFORE
-    the tf groupBy, so the keyed exchanges carry matching tokens only: one
+    the tf groupBy — under AQE (this engine's baseline config: bench,
+    tests, and the job entrypoints all enable it) a small vocabulary joins
+    as a runtime broadcast, so non-matching tokens never reach an exchange;
+    with AQE off, or a genuinely large vocabulary, that join lawfully
+    sort-merges and the token exchange carries the full corpus once. The
+    downstream exchanges are keyed and matching-tokens-only either way: one
     map-side-combined (doc, term) tf groupBy, one vocabulary-sized df
     groupBy, term-keyed joins back to the query table, and the final
-    (query, doc) sum. No forced broadcasts on the query-derived tables —
-    a handful of probes AQE broadcasts on its own, while a LARGE probe
-    table (terms-as-data means millions of probes is a legitimate input)
-    must be allowed to sort-merge rather than OOM the driver; only the
-    provably one-row corpus-stats aggregate carries a broadcast hint.
+    (query, doc) sum. No FORCED broadcasts on the query-derived tables —
+    a LARGE probe table (terms-as-data means millions of probes is a
+    legitimate input) must be allowed to sort-merge rather than OOM the
+    driver; only the provably one-row corpus-stats aggregate carries a
+    broadcast hint.
     """
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""

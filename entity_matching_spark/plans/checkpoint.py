@@ -150,23 +150,18 @@ class StageCheckpointer:
         per_part: list[dict] = []
         if self.audit_lineage:
             spark = df.sparkSession
-            written = self.read(spark, stage)
-            # re-cast any column whose read-back TYPE drifted (parquet
-            # partition-column inference can re-read a string partition
-            # value like '2024' as int, and xxhash64 is type-sensitive —
-            # the audit would raise on perfectly intact data). Compare via
-            # simpleString, which ignores nullability: parquet read-back
-            # relaxes NOT NULL struct fields, and casting those back is
-            # both unnecessary for the hash and rejected by the analyzer.
-            wtypes = {f.name: f.dataType for f in written.schema.fields}
-            written = written.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if wtypes[f.name].simpleString() != f.dataType.simpleString()
-                    else F.col(f.name)
-                    for f in df.schema.fields
-                ]
-            )
+            if self.table_format == "iceberg":
+                # the catalog preserves declared types — no inference
+                written = self.read(spark, stage)  # pragma: no cover
+            else:
+                # pin the read to the PRE-WRITE schema: parquet partition-
+                # column inference would re-read a string partition value
+                # like '00' as int 0 — and xxhash64 is type-sensitive, so
+                # the audit would raise on perfectly intact data. A post-hoc
+                # cast back cannot fix this (int 0 round-trips to '0', not
+                # the original '00'); supplying the schema makes Spark parse
+                # the raw directory value directly into the declared type.
+                written = spark.read.schema(df.schema).parquet(path)
             rh = _row_hash(written.columns)
             per_part = [
                 {

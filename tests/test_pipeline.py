@@ -42,11 +42,14 @@ class TestCheckpointer:
         single-pass observe computed — including for a partitionBy stage,
         where the re-read reorders columns (the sorted-column row digest is
         what makes both paths agree)."""
-        # 'part' is a STRING of numeric-looking values on purpose: parquet
-        # partition-type inference re-reads '0'/'1'/'2' as int, and the
-        # audit re-read must cast the drifted column back before hashing
+        # 'part' is a STRING of ZERO-PADDED numeric-looking values on
+        # purpose: parquet partition-type inference would re-read '00' as
+        # int 0, and a lossy int->string round trip would yield '0' — the
+        # audit re-read must pin the pre-write schema so the raw directory
+        # value survives byte-exactly
         df = spark.range(200).selectExpr(
-            "id AS x", "CAST(id % 3 AS STRING) AS part", "CAST(id * 7 AS STRING) AS s"
+            "id AS x", "lpad(CAST(id % 3 AS STRING), 2, '0') AS part",
+            "CAST(id * 7 AS STRING) AS s"
         )
         fast = StageCheckpointer(str(tmp_path / "fast"), run_id="t")
         audit = StageCheckpointer(str(tmp_path / "audit"), run_id="t", audit_lineage=True)
