@@ -1070,9 +1070,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b", "start_a", "start_b")
 
 
-def _sql_dedup_substring(sf: str) -> str:
-    return f"""
-    WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+def _sql_substring_ctes() -> str:
+    """The candidate-span CTE chain (gram hashing -> content-defined
+    selection -> per-doc MIN(pos) -> df cap -> pair join -> diagonal island
+    merge -> spans) shared VERBATIM by _sql_dedup_substring and
+    _sql_dedup_substring_removal — one definition so the paired oracles
+    cannot drift apart on the selection/cap/merge rules they must agree on."""
+    return f"""t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
     pos AS (SELECT doc_id, unnest(generate_series(1, len(s) - {_SUB_K} + 1)) AS p, s
             FROM t WHERE len(s) >= {_SUB_K}),
     g AS (SELECT doc_id, p, md5(substr(s, CAST(p AS INT), {_SUB_K})) AS h FROM pos),
@@ -1094,7 +1098,12 @@ def _sql_dedup_substring(sf: str) -> str:
     sp AS (SELECT doc_a, doc_b, diag, island,
                   MIN(pos_a) AS start_a, MAX(pos_a) + {_SUB_K} AS end_a,
                   CAST(COUNT(*) AS BIGINT) AS n_grams
-           FROM isl2 GROUP BY doc_a, doc_b, diag, island)
+           FROM isl2 GROUP BY doc_a, doc_b, diag, island)"""
+
+
+def _sql_dedup_substring(sf: str) -> str:
+    return f"""
+    WITH {_sql_substring_ctes()}
     -- exact confirm (operator step 7): keep only spans whose full
     -- substrings are byte-identical — island interiors between selected
     -- grams are otherwise unverified
@@ -1135,29 +1144,7 @@ def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_dedup_substring_removal(sf: str) -> str:
     return f"""
-    WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
-    pos AS (SELECT doc_id, unnest(generate_series(1, len(s) - {_SUB_K} + 1)) AS p, s
-            FROM t WHERE len(s) >= {_SUB_K}),
-    g AS (SELECT doc_id, p, md5(substr(s, CAST(p AS INT), {_SUB_K})) AS h FROM pos),
-    sel AS (SELECT doc_id, p, h FROM g
-            WHERE (('0x' || substr(h, 1, 4))::BIGINT) % {_SUB_P} = 0),
-    g1 AS (SELECT doc_id, h, MIN(p) AS pos FROM sel GROUP BY doc_id, h),
-    dfc AS (SELECT h, COUNT(*) AS n_docs FROM g1 GROUP BY h),
-    kept AS (SELECT g1.doc_id, g1.h, g1.pos FROM g1 JOIN dfc USING (h)
-             WHERE n_docs BETWEEN 2 AND {_SUB_CAP}),
-    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.pos AS pos_a, b.pos - a.pos AS diag
-           FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
-    isl AS (SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
-                             (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
-                             > {_SUB_GAP} THEN 1 ELSE 0 END AS ni FROM pr),
-    isl2 AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_a, doc_b, diag
-                                     ORDER BY pos_a ROWS UNBOUNDED PRECEDING)
-                       AS island FROM isl),
-    sp AS (SELECT doc_a, doc_b, diag, island,
-                  MIN(pos_a) AS start_a, MAX(pos_a) + {_SUB_K} AS end_a,
-                  COUNT(*) AS n_grams
-           FROM isl2 GROUP BY doc_a, doc_b, diag, island),
+    WITH {_sql_substring_ctes()},
     -- exact confirm (operator step 7) mirrored from dedup_substring, then
     -- DISTINCT: duplicate cuts would let the island cumsum split across
     -- tie orders (see the operator docstring) and the splice would be

@@ -304,14 +304,35 @@ def kmeans_centroids(
         )
     else:
         raise ValueError(f"kmeans_centroids: unknown init {init!r} (first|kpp)")
-    # probe must skip NULL embeddings (the update path tolerates them): a
-    # NULL sample would yield size(NULL) = -1 -> zero sum columns -> every
-    # centroid silently trained to []
-    first = (
+    # dims probe over ALL non-NULL embeddings, not one arbitrary row: a
+    # sampled empty/short array would set n_dims to 0 (every centroid
+    # silently trained to []) or truncate every centroid to its length
+    # (F.sum skips out-of-bounds NULLs while n counts the row, biasing the
+    # means) — so ragged or zero-length embeddings fail loud here instead.
+    # One aggregate scan against n_iter training scans; NULL embeddings stay
+    # tolerated (the update path filters them).
+    probe = (
         vectors.where(F.col(emb_col).isNotNull())
-        .select(F.size(_emb(emb_col)).alias("d")).limit(1).collect()
+        .agg(
+            F.min(F.size(_emb(emb_col))).alias("dmin"),
+            F.max(F.size(_emb(emb_col))).alias("dmax"),
+        )
+        .collect()[0]
     )
-    n_dims = first[0]["d"] if first else 0
+    if probe["dmin"] is None:
+        n_dims = 0  # no non-NULL vectors: the loop below leaves cents as-is
+    elif probe["dmin"] != probe["dmax"]:
+        raise ValueError(
+            f"kmeans_centroids: ragged embeddings — size({emb_col}) spans "
+            f"[{probe['dmin']}, {probe['dmax']}]; training needs uniform dims"
+        )
+    elif probe["dmin"] <= 0:
+        raise ValueError(
+            f"kmeans_centroids: every non-NULL {emb_col} is zero-length; "
+            f"nothing to train on"
+        )
+    else:
+        n_dims = probe["dmin"]
     for _ in range(n_iter):
         assign = assign_cells(
             vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")),

@@ -107,10 +107,25 @@ class StageCheckpointer:
         """
         path = self.stage_dir(stage)
         obs = Observation()
+        # Empty-string values in a STRING partition column do not round-trip:
+        # the writer materializes '' as __HIVE_DEFAULT_PARTITION__ and every
+        # reader parses that back as NULL, so the audit re-read would hash
+        # differently from the pre-write plan (xxhash64 is NULL-sensitive) and
+        # blame intact files. Counting them rides the same write scan as the
+        # lineage metrics (one extra conditional sum per string partition
+        # column — no second pass) so audit mode can fail with the real cause.
+        dtypes = dict(df.dtypes)
+        empty_part_cols = [
+            c for c in (partition_by or []) if dtypes.get(c) == "string"
+        ]
         observed = df.observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
             F.sum(_row_hash(df.columns)).alias("chash"),
+            *[
+                F.sum(F.when(F.col(c) == "", 1).otherwise(0)).alias(f"empty_{i}")
+                for i, c in enumerate(empty_part_cols)
+            ],
         )
         t0 = time.time()
         if self.table_format == "iceberg":
@@ -149,6 +164,18 @@ class StageCheckpointer:
 
         per_part: list[dict] = []
         if self.audit_lineage:
+            for i, c in enumerate(empty_part_cols):
+                n_empty = vals.get(f"empty_{i}") or 0
+                if n_empty > 0:
+                    raise RuntimeError(
+                        f"stage {stage}: partition column {c!r} has {n_empty} "
+                        f"empty-string value(s) — '' is written as "
+                        f"__HIVE_DEFAULT_PARTITION__ and reads back as NULL, so "
+                        f"the lineage audit cannot verify this output (the "
+                        f"re-read hash would differ on intact files); coalesce "
+                        f"'' to NULL or a sentinel before checkpointing, or "
+                        f"drop the column from partition_by"
+                    )
             spark = df.sparkSession
             if self.table_format == "iceberg":
                 # the catalog preserves declared types — no inference

@@ -267,20 +267,37 @@ def _compaction_manifest(spark: SparkSession, comp_base: str) -> dict | None:
     its window), fall back to the newest ``h=*`` directory that carries a
     valid per-directory ``_COMPACTION.json`` copy — that inner manifest is
     written only AFTER the directory's parquet completes, so its presence
-    certifies a complete compaction. Only when no such directory exists is
-    the corpus treated as never-compacted."""
+    certifies a complete compaction.
+
+    Fail-loud floor: a pointer file that EXISTS but cannot be parsed proves
+    a cutover was attempted, and a completed cutover may already have pruned
+    the raw ``batch_id=*`` partitions — so if no inner copy recovers a
+    manifest (e.g. the directory predates the per-directory copies), this
+    RAISES rather than returning None: "never compacted" here would silently
+    match every future micro-batch against an empty corpus. Only a MISSING
+    pointer with no recoverable inner copy is treated as never-compacted —
+    in that state the cutover never happened and the raw partitions are
+    still intact by the compactor's write order (data, inner copy, pointer,
+    prune)."""
     import json
 
     path = f"{comp_base}/MANIFEST.json"
+    pointer_torn = False
     if _fs_exists(spark, path):
         try:
             return json.loads(_fs_read_text(spark, path))
         except Exception:
             # zero/partial/checksum-corrupt pointer: recover from the inner
             # copies (any unreadable pointer state resolves the same way)
-            pass
+            pointer_torn = True
     fs, base, _ = _fs(spark, comp_base)
     if not fs.exists(base):
+        if pointer_torn:
+            raise IOError(
+                f"compaction pointer {path} is unreadable and no h=* "
+                f"directory exists to recover from — refusing to treat the "
+                f"corpus as never-compacted (raw partitions may be pruned)"
+            )
         return None
     best: dict | None = None
     for st in fs.listStatus(base):
@@ -296,6 +313,14 @@ def _compaction_manifest(spark: SparkSession, comp_base: str) -> dict | None:
             continue
         if best is None or man["h"] > best["h"]:
             best = man
+    if best is None and pointer_torn:
+        raise IOError(
+            f"compaction pointer {path} is unreadable and no h=* directory "
+            f"under {comp_base} carries a valid _COMPACTION.json copy — "
+            f"refusing to treat the corpus as never-compacted (a cutover was "
+            f"attempted, so raw partitions may already be pruned); restore "
+            f"the pointer or rebuild the compacted table before resuming"
+        )
     return best
 
 
@@ -329,9 +354,14 @@ def _assert_stream_quiesced(
     the entry snapshot immediately before each table's manifest commit: a
     micro-batch that ran DURING the compacted rewrite (whose partially
     written raw partition the scan may have absorbed) either shows up
-    in-flight or has grown the offsets set — both abort BEFORE any reader-
-    visible pointer moves. A batch that starts after the recheck gets a
-    batch_id above the recorded high-water mark and stays raw — no loss.
+    in-flight or has grown the offsets set — both abort before THAT TABLE's
+    pointer moves. The abort is PER-TABLE: tables committed earlier in the
+    same compact_corpus run keep their new pointers (each passed its own
+    recheck, so every committed pointer is individually consistent; the run
+    ends with a mixed per-table high-water state that the next compaction
+    run reconciles). A batch that starts after a table's recheck gets a
+    batch_id above that table's recorded high-water mark and stays raw — no
+    loss.
 
     Returns the committed-offsets snapshot for use as the next
     ``expected_offsets``."""
@@ -385,8 +415,12 @@ def compact_corpus(
     (offset written, commit missing) raises before any data moves; and
     immediately before EACH table's manifest commit the offsets snapshot is
     re-compared — a stream that was merely idle-between-batches at entry
-    and ran a batch during the rewrite aborts before any reader-visible
-    pointer moves. The replay side is guarded in ``incremental_match``'s
+    and ran a batch during the rewrite aborts before that table's pointer
+    moves. The abort is per-table, not per-run: tables whose pointers were
+    already cut over earlier in the loop STAY committed (each passed its own
+    recheck, so each committed pointer is individually consistent), and a
+    re-run after stopping the stream compacts the remaining tables up to
+    their own high-water marks. The replay side is guarded in ``incremental_match``'s
     process_batch, which refuses a ``batch_id <= h`` (a batch already
     absorbed by compaction — reprocessing it would cross-pair the batch
     against its own compacted copy). ``prune_raw=True`` additionally deletes

@@ -184,6 +184,33 @@ class TestKMeansParallelInit:
         with _pytest.raises(ValueError, match="unknown init"):
             kmeans_centroids(v, k=1, init="nope")
 
+    def test_ragged_or_empty_embeddings_fail_loud(self, spark):
+        """The dims probe aggregates over ALL non-NULL embeddings: one
+        zero-length (or short) vector must raise, not silently train every
+        centroid to [] / truncate the means (the old one-arbitrary-row probe
+        did exactly that when limit(1) picked the bad row). NULL embeddings
+        stay tolerated — the update path filters them."""
+        import pytest as _pytest
+
+        from entity_matching_spark.operators.ann import kmeans_centroids
+
+        ragged = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [])], "vec_id int, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="ragged"):
+            kmeans_centroids(ragged, k=1, n_iter=1)
+        empty = spark.createDataFrame(
+            [(0, []), (1, [])], "vec_id int, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="zero-length"):
+            kmeans_centroids(empty, k=1, n_iter=1)
+        with_null = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, None)],
+            "vec_id int, embedding array<double>",
+        )
+        got = kmeans_centroids(with_null, k=1, n_iter=1).collect()
+        assert len(got) == 1 and got[0]["cemb"] == [2.0, 3.0]
+
 
 class TestQuantization:
     def test_roundtrip_error_bounded(self, spark, vectors):

@@ -681,6 +681,38 @@ class TestCompactionSafety:
         assert _compaction_manifest(spark, wd + "/keys_compacted") == good
         assert _read_corpus_table(spark, wd, "keys", exclude_batch=-1).count() == n
 
+    def test_torn_pointer_without_inner_copy_fails_loud(self, spark, tmp_path):
+        """A torn MANIFEST.json whose h=* directories carry NO recoverable
+        _COMPACTION.json (e.g. written by a pre-atomic release) proves a
+        cutover was attempted — raw partitions may already be pruned — so
+        treating the corpus as never-compacted would silently match every
+        future batch against an empty corpus. Must raise, not return None."""
+        import glob
+        import os
+
+        import pytest
+
+        from entity_matching_spark.streaming.ingest import _compaction_manifest
+
+        _, wd = self._one_batch_workdir(spark, tmp_path, "torn")
+        from entity_matching_spark.streaming.ingest import compact_corpus
+
+        compact_corpus(spark, wd, n_buckets=4, prune_raw=True)
+        base = wd + "/keys_compacted"
+        with open(base + "/MANIFEST.json", "w") as f:
+            f.write('{"h": ')  # torn pointer
+        for inner in glob.glob(base + "/h=*/_COMPACTION.json"):
+            os.remove(inner)  # old-format directory: no recovery anchor
+        with pytest.raises(IOError, match="never-compacted"):
+            _compaction_manifest(spark, base)
+        # a MISSING pointer with no inner copy stays never-compacted (the
+        # cutover provably never happened; raw partitions are intact)
+        os.remove(base + "/MANIFEST.json")
+        import shutil
+
+        shutil.rmtree(wd + "/records_compacted", ignore_errors=True)
+        assert _compaction_manifest(spark, wd + "/records_compacted") is None
+
     def test_quiesce_recheck_detects_stream_advance(self, spark, tmp_path):
         """An idle-at-entry RUNNING stream looks quiesced (offsets ==
         commits); the pre-cutover recheck must catch a micro-batch that
