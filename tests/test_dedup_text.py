@@ -341,6 +341,139 @@ class TestSubstringDedup:
             if orig[d] is not None:
                 assert len(orig[d]) == len(r["text"]) + r["removed_chars"], d
 
+    def test_spans_match_python_scalar_replay_on_random_corpus(self, spark):
+        """Seeded fuzz: the FULL detection recipe (md5 k-gram hashing,
+        content-defined 1/mod_p selection, per-doc MIN(pos), df cap, pair
+        join, diagonal island merge, exact confirm) replayed scalar in pure
+        Python on a random corpus with planted shared sentences and a tiny
+        alphabet (many accidental shared grams, exercising the cap). Output
+        row sets must be identical — an oracle independent of BOTH Spark and
+        DuckDB."""
+        import hashlib
+        import random
+        from collections import defaultdict
+
+        from entity_matching_spark.operators.dedup import substring_duplicate_spans
+
+        K, MODP, GAP, MING, CAP = 16, 4, 64, 2, 10
+        rng = random.Random(424242)
+        alpha = "abc xyz."
+        planted = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(40, 90)))
+            for _ in range(4)
+        ]
+        rows = []
+        for d in range(30):
+            text = "".join(rng.choice(alpha) for _ in range(rng.randint(60, 220)))
+            for pl in planted:
+                if rng.random() < 0.25:
+                    cut = rng.randint(0, len(text))
+                    text = text[:cut] + pl + text[cut:]
+            rows.append((d, text))
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        spans_df, dropped_df = substring_duplicate_spans(
+            docs, k=K, mod_p=MODP, max_gap=GAP,
+            min_grams=MING, max_docs_per_gram=CAP,
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"],
+             r["span_len"], r["n_grams"])
+            for r in spans_df.collect()
+        )
+        got_dropped = sorted(
+            (r["h"], r["n_docs"]) for r in dropped_df.collect()
+        )
+
+        texts = dict(rows)
+        g1: dict = {}
+        for d, s in rows:
+            for p in range(1, len(s) - K + 2):
+                h = hashlib.md5(s[p - 1:p - 1 + K].encode()).hexdigest()
+                if int(h[:4], 16) % MODP != 0:
+                    continue
+                if (d, h) not in g1 or p < g1[(d, h)]:
+                    g1[(d, h)] = p
+        byh = defaultdict(list)
+        for (d, h), p in g1.items():
+            byh[h].append((d, p))
+        exp_dropped = sorted(
+            (h, len(lst)) for h, lst in byh.items() if len(lst) > CAP
+        )
+        matches = defaultdict(list)
+        for h, lst in byh.items():
+            if not (2 <= len(lst) <= CAP):
+                continue
+            for da, pa in lst:
+                for db, pb in lst:
+                    if da < db:
+                        matches[(da, db, pb - pa)].append(pa)
+        exp = []
+        for (da, db, diag), ps in matches.items():
+            ps.sort()
+            groups = [[ps[0]]]
+            for p in ps[1:]:
+                (groups.append([p]) if p - groups[-1][-1] > GAP
+                 else groups[-1].append(p))
+            for gps in groups:
+                if len(gps) < MING:
+                    continue
+                start_a, span_len = gps[0], gps[-1] + K - gps[0]
+                ta, tb = texts[da], texts[db]
+                if (ta[start_a - 1:start_a - 1 + span_len]
+                        == tb[start_a + diag - 1:start_a + diag - 1 + span_len]):
+                    exp.append((da, db, start_a, start_a + diag,
+                                span_len, len(gps)))
+        assert got == sorted(exp)
+        assert exp  # the planted sentences guarantee real spans to compare
+        assert got_dropped == exp_dropped
+
+    def test_removal_matches_python_splice_on_random_intervals(self, spark):
+        """Seeded fuzz: random overlapping/adjacent/duplicate cut intervals
+        vs a pure-Python interval-merge + splice oracle — text, removed_chars
+        and n_spans_removed must agree on every doc."""
+        import random
+        from collections import defaultdict
+
+        from entity_matching_spark.operators.dedup import remove_duplicate_spans
+
+        rng = random.Random(777)
+        doc_rows, span_rows = [], []
+        for d in range(40):
+            n = rng.randint(0, 120)
+            doc_rows.append((d, "".join(rng.choice("abcxyz 01") for _ in range(n))))
+            for s in range(rng.randint(0, 6)):
+                if n < 2:
+                    continue
+                start = rng.randint(1, n)  # 1-based
+                ln = rng.randint(1, n - start + 1)
+                span_rows.append((1000 + s, d, 1, start, ln, 2))
+        docs = spark.createDataFrame(doc_rows, "doc_id int, text string")
+        spans = spark.createDataFrame(
+            span_rows,
+            "doc_a int, doc_b int, start_a int, start_b int, span_len int, n_grams int",
+        )
+        got = {r["doc_id"]: r for r in remove_duplicate_spans(docs, spans).collect()}
+
+        cuts = defaultdict(list)
+        for _, d, _, st0, ln, _ in span_rows:
+            cuts[d].append((st0, st0 + ln))  # 1-based half-open
+        for d, text in doc_rows:
+            merged: list = []
+            for cs, ce in sorted(cuts.get(d, [])):
+                if merged and cs <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], ce)
+                else:
+                    merged.append([cs, ce])
+            pieces, prev = [], 1
+            for cs, ce in merged:
+                pieces.append(text[prev - 1:cs - 1])
+                prev = ce
+            pieces.append(text[prev - 1:])
+            r = got[d]
+            assert r["text"] == "".join(pieces), d
+            assert r["removed_chars"] == sum(ce - cs for cs, ce in merged), d
+            assert r["n_spans_removed"] == len(merged), d
+
     def test_removal_merges_overlapping_cuts(self, spark):
         """A doc cut by several doc_a partners gets ONE merged splice per
         overlapping region — duplicate/overlapping intervals must never
