@@ -309,13 +309,21 @@ def kmeans_centroids(
     # silently trained to []) or truncate every centroid to its length
     # (F.sum skips out-of-bounds NULLs while n counts the row, biasing the
     # means) — so ragged or zero-length embeddings fail loud here instead.
-    # One aggregate scan against n_iter training scans; NULL embeddings stay
-    # tolerated (the update path filters them).
+    # Element-level NULLs fail loud for the same reason: the per-dimension
+    # F.sum skips a NULL element while F.count('*') still counts the row, so
+    # a [2.0, NULL] member would silently bias (or NULL out) that
+    # dimension's trained mean.
+    # One aggregate scan against n_iter training scans; whole-row NULL
+    # embeddings stay tolerated (the update path filters them).
     probe = (
         vectors.where(F.col(emb_col).isNotNull())
         .agg(
             F.min(F.size(_emb(emb_col))).alias("dmin"),
             F.max(F.size(_emb(emb_col))).alias("dmax"),
+            F.sum(
+                F.when(F.exists(_emb(emb_col), lambda v: v.isNull()), 1)
+                .otherwise(0)
+            ).alias("n_null_elem"),
         )
         .collect()[0]
     )
@@ -325,6 +333,13 @@ def kmeans_centroids(
         raise ValueError(
             f"kmeans_centroids: ragged embeddings — size({emb_col}) spans "
             f"[{probe['dmin']}, {probe['dmax']}]; training needs uniform dims"
+        )
+    elif probe["n_null_elem"]:
+        raise ValueError(
+            f"kmeans_centroids: {probe['n_null_elem']} embeddings contain "
+            f"NULL elements — the per-dimension sums would skip them while "
+            f"the member count includes the row, silently biasing the "
+            f"trained means; drop or impute NULL elements before training"
         )
     elif probe["dmin"] <= 0:
         raise ValueError(

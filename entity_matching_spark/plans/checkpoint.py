@@ -113,7 +113,8 @@ class StageCheckpointer:
         # differently from the pre-write plan (xxhash64 is NULL-sensitive) and
         # blame intact files. Counting them rides the same write scan as the
         # lineage metrics (one extra conditional sum per string partition
-        # column — no second pass) so audit mode can fail with the real cause.
+        # column — no second pass) so BOTH modes fail with the real cause
+        # before persisting a checkpoint that cannot round-trip.
         dtypes = dict(df.dtypes)
         empty_part_cols = [
             c for c in (partition_by or []) if dtypes.get(c) == "string"
@@ -162,20 +163,27 @@ class StageCheckpointer:
                         )
             files.sort(key=lambda x: x["file"])
 
+        # enforced in BOTH modes, not just under audit: a checkpoint whose
+        # read-back differs from what was written ('' -> NULL) would make a
+        # RESUMED run silently diverge from a fresh one, and the manifest's
+        # observed pre-write hash would no longer describe the on-disk data.
+        # The counters already rode the write scan, so the check is free.
+        for i, c in enumerate(empty_part_cols):
+            n_empty = vals.get(f"empty_{i}") or 0
+            if n_empty > 0:
+                raise RuntimeError(
+                    f"stage {stage}: partition column {c!r} has {n_empty} "
+                    f"empty-string value(s) — '' is written as "
+                    f"__HIVE_DEFAULT_PARTITION__ and reads back as NULL, so "
+                    f"this checkpoint would not round-trip (a resumed run "
+                    f"reading it would diverge from a fresh run, and the "
+                    f"lineage audit's re-read hash would differ on intact "
+                    f"files); coalesce '' to NULL or a sentinel before "
+                    f"checkpointing, or drop the column from partition_by"
+                )
+
         per_part: list[dict] = []
         if self.audit_lineage:
-            for i, c in enumerate(empty_part_cols):
-                n_empty = vals.get(f"empty_{i}") or 0
-                if n_empty > 0:
-                    raise RuntimeError(
-                        f"stage {stage}: partition column {c!r} has {n_empty} "
-                        f"empty-string value(s) — '' is written as "
-                        f"__HIVE_DEFAULT_PARTITION__ and reads back as NULL, so "
-                        f"the lineage audit cannot verify this output (the "
-                        f"re-read hash would differ on intact files); coalesce "
-                        f"'' to NULL or a sentinel before checkpointing, or "
-                        f"drop the column from partition_by"
-                    )
             spark = df.sparkSession
             if self.table_format == "iceberg":
                 # the catalog preserves declared types — no inference

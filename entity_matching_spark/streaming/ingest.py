@@ -309,7 +309,12 @@ def _compaction_manifest(spark: SparkSession, comp_base: str) -> dict | None:
             continue
         try:
             man = json.loads(_fs_read_text(spark, inner))
-        except ValueError:
+        except Exception:
+            # same breadth as the pointer read above: the inner copies are
+            # written non-atomically too, so a compactor crash can leave a
+            # torn/checksum-corrupt copy that surfaces as a Py4J-wrapped
+            # IOException, not ValueError — skip it and recover from an
+            # older generation (or hit the fail-loud floor below)
             continue
         if best is None or man["h"] > best["h"]:
             best = man

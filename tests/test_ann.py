@@ -204,6 +204,17 @@ class TestKMeansParallelInit:
         )
         with _pytest.raises(ValueError, match="zero-length"):
             kmeans_centroids(empty, k=1, n_iter=1)
+        # element-level NULLs must fail loud too: the per-dimension F.sum
+        # skips the NULL element while the member count includes the row, so
+        # [2.0, NULL] next to [4.0, 6.0] would silently train dim-1 to
+        # 6.0/2 = 3.0 instead of 6.0 (and an all-NULL dimension would train
+        # a NULL coordinate that NULLs every later cosine)
+        null_elem = spark.createDataFrame(
+            [(0, [2.0, None]), (1, [4.0, 6.0])],
+            "vec_id int, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="NULL elements"):
+            kmeans_centroids(null_elem, k=1, n_iter=1)
         with_null = spark.createDataFrame(
             [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, None)],
             "vec_id int, embedding array<double>",

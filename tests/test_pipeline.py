@@ -63,26 +63,27 @@ class TestCheckpointer:
             assert str(sum(int(p["content_hash"]) for p in ma["partitions"])) \
                 == ma["content_hash"]
 
-    def test_audit_rejects_empty_string_partition_value(self, spark, tmp_path):
+    def test_rejects_empty_string_partition_value(self, spark, tmp_path):
         """'' in a STRING partition column is materialized as
         __HIVE_DEFAULT_PARTITION__ and reads back as NULL — unfixable by
-        schema pinning, so the audit would blame intact files. The write-side
-        observed empty-count must fail loud with the REAL cause instead; the
-        same data passes once '' is coalesced to NULL (which round-trips),
-        and the single-pass (non-audit) writer stays permissive."""
+        schema pinning, so the checkpoint would not round-trip (a resumed
+        run reading it would silently diverge from a fresh one). The
+        write-side observed empty-count must fail loud with the REAL cause
+        in BOTH modes — single-pass and audit — and the same data passes
+        once '' is coalesced to NULL (which round-trips)."""
         df = spark.range(20).selectExpr(
             "id AS x", "CASE WHEN id % 5 = 0 THEN '' ELSE 'a' END AS part"
         )
-        audit = StageCheckpointer(str(tmp_path / "a"), run_id="t", audit_lineage=True)
-        with pytest.raises(RuntimeError, match="empty-string"):
-            audit.write("s_bad", df, params_hash="h", partition_by=["part"])
         fixed = df.selectExpr("x", "nullif(part, '') AS part")
-        m = audit.write("s_ok", fixed, params_hash="h", partition_by=["part"])
-        assert m["output_rows"] == 20
+        audit = StageCheckpointer(str(tmp_path / "a"), run_id="t", audit_lineage=True)
         fast = StageCheckpointer(str(tmp_path / "f"), run_id="t")
-        assert fast.write("s_fast", df, params_hash="h", partition_by=["part"])[
-            "output_rows"
-        ] == 20
+        for ck in (audit, fast):
+            with pytest.raises(RuntimeError, match="empty-string"):
+                ck.write("s_bad", df, params_hash="h", partition_by=["part"])
+            m = ck.write("s_ok", fixed, params_hash="h", partition_by=["part"])
+            assert m["output_rows"] == 20
+            # non-partitioned '' values are data, not directory names — fine
+            assert ck.write("s_flat", df, params_hash="h")["output_rows"] == 20
 
     def test_manifest_on_disk(self, spark, tmp_path):
         ck = StageCheckpointer(str(tmp_path), run_id="t")

@@ -701,6 +701,17 @@ class TestCompactionSafety:
         base = wd + "/keys_compacted"
         with open(base + "/MANIFEST.json", "w") as f:
             f.write('{"h": ')  # torn pointer
+        # checksum-corrupt inner copy first: bytes changed behind Hadoop's
+        # .crc sidecar (LocalFileSystem is a ChecksumFileSystem, like HDFS),
+        # so _fs_read_text raises a Py4J-wrapped ChecksumException — NOT
+        # ValueError. Recovery must skip the unreadable copy and still land
+        # on the designed fail-loud floor, not propagate an opaque Java
+        # error from the path built to heal exactly this crash.
+        for inner in glob.glob(base + "/h=*/_COMPACTION.json"):
+            with open(inner, "r+") as f:
+                f.write("X")  # flip the first byte; .crc now stale
+        with pytest.raises(IOError, match="never-compacted"):
+            _compaction_manifest(spark, base)
         for inner in glob.glob(base + "/h=*/_COMPACTION.json"):
             os.remove(inner)  # old-format directory: no recovery anchor
         with pytest.raises(IOError, match="never-compacted"):
