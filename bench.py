@@ -154,6 +154,10 @@ def main() -> int:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # per-call call-site capture (error-message enrichment only) costs
+        # 3 Py4J round trips per DataFrame API call; measured ~30% of warm
+        # plan-authoring time on the deep scoring plan — off for benchmarks
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

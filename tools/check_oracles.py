@@ -47,6 +47,10 @@ def main():
         .config("spark.driver.extraJavaOptions", "-Xss32m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # call-site capture for error enrichment costs 3 Py4J round trips
+        # per DataFrame API call on the driver — measured ~30% of warm plan
+        # authoring on the deep scoring plan; pure diagnostics, no semantics
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
